@@ -1,0 +1,366 @@
+"""Building blocks for the ResEnc U-Net, in Flax linen, channels-last.
+
+TPU-first redesign of the reference's block zoo
+(reference: builders/simple_conv_blocks.py:13-148, builders/resblocks.py:15-353):
+
+* NDHWC layout throughout — XLA tiles channels-last 3D convolutions onto the
+  MXU directly; NCDHW (the torch layout) would force transposes.
+* InstanceNorm statistics in fp32, activations in the configured compute
+  dtype (bf16 by default) — the TPU analog of the reference's AMP autocast.
+* No in-place ops / no module mutability: blocks are pure functions of
+  (params, x, rng).
+
+Block semantics match the reference exactly:
+  ConvNormAct       = Conv(same-pad) -> [Dropout] -> InstanceNorm -> [LeakyReLU]
+  BasicBlockD       = ResNet-D basic: conv1(stride) -> conv2, skip =
+                      AvgPool(stride) + 1x1 Conv+Norm when shape changes,
+                      optional DropPath & SqueezeExcite on the branch,
+                      post-add LeakyReLU.
+  BottleneckD       = 1x1 reduce -> kxk(stride) -> 1x1 expand, same skip.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.instance_norm import _instance_norm_act_impl
+
+Dtype = jnp.dtype
+
+
+def _pad_same(kernel: Sequence[int]) -> Tuple[Tuple[int, int], ...]:
+    """Torch-style symmetric same padding: (k-1)//2 on both sides
+    (reference: simple_conv_blocks.py:48). For odd k and any stride this
+    selects the same conv windows as torch's Conv3d."""
+    return tuple(((k - 1) // 2, (k - 1) // 2) for k in kernel)
+
+
+def _make_divisible(v: float, divisor: int = 8, min_value: Optional[int] = None) -> int:
+    """Channel rounding used by squeeze-excitation reduction (timm-style,
+    mirroring dynamic_network_architectures' SqueezeExcite rd_divisor=8)."""
+    if min_value is None:
+        min_value = divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class InstanceNorm(nn.Module):
+    """Per-(sample, channel) normalization over all spatial axes.
+
+    fp32 statistics; optional affine (the reference default is affine=False,
+    build_network_from_config.py:172)."""
+
+    affine: bool = False
+    eps: float = 1e-5
+    negative_slope: float = 1e-2
+    act: bool = False
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = bias = None
+        if self.affine:
+            c = x.shape[-1]
+            scale = self.param(
+                "scale", nn.initializers.ones, (c,), self.param_dtype)
+            bias = self.param(
+                "bias", nn.initializers.zeros, (c,), self.param_dtype)
+        return _instance_norm_act_impl(
+            x, scale, bias, self.eps, self.negative_slope, self.act)
+
+
+class ConvNormAct(nn.Module):
+    """Conv -> [Dropout] -> [InstanceNorm] -> [LeakyReLU]
+    (reference: simple_conv_blocks.py:13-72 ConvDropoutNormReLU)."""
+
+    features: int
+    kernel: Tuple[int, ...]
+    stride: Tuple[int, ...]
+    use_bias: bool = False
+    norm: bool = True
+    norm_affine: bool = False
+    norm_eps: float = 1e-5
+    act: bool = True
+    negative_slope: float = 1e-2
+    dropout_p: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel,
+            strides=self.stride,
+            padding=_pad_same(self.kernel),
+            use_bias=self.use_bias,
+            kernel_init=nn.initializers.he_normal(),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+        if self.dropout_p > 0.0:
+            x = nn.Dropout(rate=self.dropout_p, deterministic=not train,
+                           name="dropout")(x)
+        if self.norm:
+            x = InstanceNorm(
+                affine=self.norm_affine, eps=self.norm_eps,
+                negative_slope=self.negative_slope, act=self.act,
+                param_dtype=self.param_dtype, name="norm")(x)
+        elif self.act:
+            x = nn.leaky_relu(x, negative_slope=self.negative_slope)
+        return x
+
+
+class SqueezeExcite(nn.Module):
+    """Channel SE: global-avg-pool -> 1x1 reduce -> ReLU -> 1x1 expand ->
+    sigmoid gate (reference imports this from dynamic_network_architectures,
+    resblocks.py:11,84-87; reimplemented, rd_divisor=8)."""
+
+    rd_ratio: float = 1.0 / 16
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        rd = _make_divisible(c * self.rd_ratio, 8)
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        # fp32 pooling for stable statistics on long reductions
+        s = jnp.mean(x.astype(jnp.float32), axis=spatial_axes)
+        s = nn.Dense(rd, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="reduce")(s.astype(self.dtype))
+        s = nn.relu(s)
+        s = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="expand")(s)
+        gate = jax.nn.sigmoid(s.astype(jnp.float32)).astype(x.dtype)
+        gate = gate.reshape(gate.shape[:1] + (1,) * (x.ndim - 2) + gate.shape[-1:])
+        return x * gate
+
+
+def drop_path(x: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
+    """Stochastic depth: zero the residual branch per sample, rescaled
+    (reference: resblocks.py:79-81 via DropPath)."""
+    if rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, p=keep, shape=shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class _ResidualSkip(nn.Module):
+    """ResNet-D skip path: AvgPool(stride) when strided, then 1x1 Conv+Norm
+    when projecting channels (reference: resblocks.py:89-104)."""
+
+    features: int
+    stride: Tuple[int, ...]
+    in_features: int
+    norm_affine: bool = False
+    norm_eps: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        has_stride = any(s != 1 for s in self.stride)
+        needs_proj = self.in_features != self.features
+        if has_stride:
+            window = self.stride
+            x = nn.avg_pool(x, window_shape=window, strides=self.stride,
+                            padding="VALID")
+        if needs_proj:
+            x = ConvNormAct(
+                features=self.features, kernel=(1,) * (x.ndim - 2),
+                stride=(1,) * (x.ndim - 2), use_bias=False,
+                norm_affine=self.norm_affine, norm_eps=self.norm_eps,
+                act=False, dtype=self.dtype, param_dtype=self.param_dtype,
+                name="proj")(x)
+        return x
+
+
+class BasicBlockD(nn.Module):
+    """ResNet-D basic block (reference: resblocks.py:15-132)."""
+
+    features: int
+    kernel: Tuple[int, ...]
+    stride: Tuple[int, ...]
+    conv_bias: bool = False
+    norm_affine: bool = False
+    norm_eps: float = 1e-5
+    negative_slope: float = 1e-2
+    dropout_p: float = 0.0
+    squeeze_excitation: bool = False
+    se_ratio: float = 1.0 / 16
+    stochastic_depth_p: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        in_features = x.shape[-1]
+        residual = _ResidualSkip(
+            features=self.features, stride=self.stride,
+            in_features=in_features, norm_affine=self.norm_affine,
+            norm_eps=self.norm_eps, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="skip")(x)
+        out = ConvNormAct(
+            features=self.features, kernel=self.kernel, stride=self.stride,
+            use_bias=self.conv_bias, norm_affine=self.norm_affine,
+            norm_eps=self.norm_eps, act=True,
+            negative_slope=self.negative_slope, dropout_p=self.dropout_p,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="conv1",
+        )(x, train=train)
+        out = ConvNormAct(
+            features=self.features, kernel=self.kernel,
+            stride=(1,) * len(self.stride), use_bias=self.conv_bias,
+            norm_affine=self.norm_affine, norm_eps=self.norm_eps, act=False,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="conv2",
+        )(out, train=train)
+        if train and self.stochastic_depth_p > 0.0:
+            out = drop_path(out, self.stochastic_depth_p,
+                            self.make_rng("droppath"))
+        if self.squeeze_excitation:
+            out = SqueezeExcite(rd_ratio=self.se_ratio, dtype=self.dtype,
+                                param_dtype=self.param_dtype, name="se")(out)
+        out = out + residual
+        return nn.leaky_relu(out, negative_slope=self.negative_slope)
+
+
+class BottleneckD(nn.Module):
+    """ResNet-D bottleneck: 1x1 -> kxk(stride) -> 1x1, stride in the middle
+    conv (reference: resblocks.py:135-259)."""
+
+    features: int
+    bottleneck_features: int
+    kernel: Tuple[int, ...]
+    stride: Tuple[int, ...]
+    conv_bias: bool = False
+    norm_affine: bool = False
+    norm_eps: float = 1e-5
+    negative_slope: float = 1e-2
+    dropout_p: float = 0.0
+    squeeze_excitation: bool = False
+    se_ratio: float = 1.0 / 16
+    stochastic_depth_p: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        dim = len(self.stride)
+        ones = (1,) * dim
+        in_features = x.shape[-1]
+        residual = _ResidualSkip(
+            features=self.features, stride=self.stride,
+            in_features=in_features, norm_affine=self.norm_affine,
+            norm_eps=self.norm_eps, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="skip")(x)
+        out = ConvNormAct(
+            features=self.bottleneck_features, kernel=ones, stride=ones,
+            use_bias=self.conv_bias, norm_affine=self.norm_affine,
+            norm_eps=self.norm_eps, act=True,
+            negative_slope=self.negative_slope, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="conv1")(x, train=train)
+        out = ConvNormAct(
+            features=self.bottleneck_features, kernel=self.kernel,
+            stride=self.stride, use_bias=self.conv_bias,
+            norm_affine=self.norm_affine, norm_eps=self.norm_eps, act=True,
+            negative_slope=self.negative_slope, dropout_p=self.dropout_p,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="conv2",
+        )(out, train=train)
+        out = ConvNormAct(
+            features=self.features, kernel=ones, stride=ones,
+            use_bias=self.conv_bias, norm_affine=self.norm_affine,
+            norm_eps=self.norm_eps, act=False, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="conv3")(out, train=train)
+        if train and self.stochastic_depth_p > 0.0:
+            out = drop_path(out, self.stochastic_depth_p,
+                            self.make_rng("droppath"))
+        if self.squeeze_excitation:
+            out = SqueezeExcite(rd_ratio=self.se_ratio, dtype=self.dtype,
+                                param_dtype=self.param_dtype, name="se")(out)
+        out = out + residual
+        return nn.leaky_relu(out, negative_slope=self.negative_slope)
+
+
+class StackedResidualBlocks(nn.Module):
+    """N residual blocks; stride only in the first
+    (reference: resblocks.py:262-353)."""
+
+    n_blocks: int
+    features: int
+    kernel: Tuple[int, ...]
+    initial_stride: Tuple[int, ...]
+    block_type: str = "BasicBlockD"  # BasicBlockD | BottleneckBlockD
+    bottleneck_features: Optional[int] = None
+    conv_bias: bool = False
+    norm_affine: bool = False
+    norm_eps: float = 1e-5
+    negative_slope: float = 1e-2
+    dropout_p: float = 0.0
+    squeeze_excitation: bool = False
+    se_ratio: float = 1.0 / 16
+    stochastic_depth_p: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        ones = (1,) * len(self.initial_stride)
+        common = dict(
+            features=self.features, kernel=self.kernel,
+            conv_bias=self.conv_bias, norm_affine=self.norm_affine,
+            norm_eps=self.norm_eps, negative_slope=self.negative_slope,
+            dropout_p=self.dropout_p,
+            squeeze_excitation=self.squeeze_excitation, se_ratio=self.se_ratio,
+            stochastic_depth_p=self.stochastic_depth_p, dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        for i in range(self.n_blocks):
+            stride = self.initial_stride if i == 0 else ones
+            if self.block_type == "BottleneckBlockD":
+                x = BottleneckD(
+                    bottleneck_features=self.bottleneck_features or self.features // 4,
+                    stride=stride, name=f"block{i}", **common)(x, train=train)
+            else:
+                x = BasicBlockD(stride=stride, name=f"block{i}", **common)(
+                    x, train=train)
+        return x
+
+
+class StackedConvBlocks(nn.Module):
+    """N plain conv blocks; stride only in the first
+    (reference: simple_conv_blocks.py:82-148)."""
+
+    n_convs: int
+    features: int
+    kernel: Tuple[int, ...]
+    initial_stride: Tuple[int, ...]
+    conv_bias: bool = False
+    norm_affine: bool = False
+    norm_eps: float = 1e-5
+    negative_slope: float = 1e-2
+    dropout_p: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        ones = (1,) * len(self.initial_stride)
+        for i in range(self.n_convs):
+            x = ConvNormAct(
+                features=self.features, kernel=self.kernel,
+                stride=self.initial_stride if i == 0 else ones,
+                use_bias=self.conv_bias, norm_affine=self.norm_affine,
+                norm_eps=self.norm_eps, act=True,
+                negative_slope=self.negative_slope, dropout_p=self.dropout_p,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"conv{i}")(x, train=train)
+        return x

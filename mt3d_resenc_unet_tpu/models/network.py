@@ -1,0 +1,212 @@
+"""Shared-encoder / multi-decoder ResEnc U-Net, plan-driven, channels-last.
+
+TPU-native rework of the reference's NetworkFromConfig
+(reference: builders/build_network_from_config.py:20-326,
+builders/encoder.py:27-170, builders/decoder.py:16-193):
+
+* the architecture is fully described by an immutable
+  :class:`~mt3d_resenc_unet_tpu.core.plan.NetworkPlan` that rides through
+  ``jax.jit`` as static data — no Python-side mutation, a single retrace per
+  plan;
+* layout is NDHWC so 3D convolutions map straight onto the MXU;
+* ``__call__`` returns ``{task_name: logits}`` and applies the per-task
+  activation only when ``train=False``, matching the reference forward
+  (build_network_from_config.py:312-326).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.plan import NetworkPlan
+from .blocks import (
+    ConvNormAct,
+    StackedConvBlocks,
+    StackedResidualBlocks,
+)
+
+Dtype = jnp.dtype
+
+
+class Encoder(nn.Module):
+    """Shared trunk: optional 1-conv stem + N stages of residual/conv stacks,
+    returning all per-stage skips (reference: builders/encoder.py:27-158)."""
+
+    plan: NetworkPlan
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False) -> List[jax.Array]:
+        p = self.plan
+        common = dict(
+            conv_bias=p.conv_bias, norm_affine=p.norm_affine,
+            norm_eps=p.norm_eps, negative_slope=p.nonlin_negative_slope,
+            dropout_p=p.dropout_p, dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        if p.do_stem:
+            x = StackedConvBlocks(
+                n_convs=1, features=p.stem_width, kernel=p.kernel_sizes[0],
+                initial_stride=(1,) * p.dim, name="stem", **common,
+            )(x, train=train)
+
+        skips: List[jax.Array] = []
+        residual_encoder = p.basic_encoder_block in ("BasicBlockD", "BottleneckBlockD")
+        for s in range(p.num_stages):
+            if residual_encoder:
+                bn = (p.bottleneck_channels[s]
+                      if p.bottleneck_channels is not None else None)
+                x = StackedResidualBlocks(
+                    n_blocks=p.n_blocks_per_stage[s],
+                    features=p.features_per_stage[s],
+                    kernel=p.kernel_sizes[s],
+                    initial_stride=p.strides[s],
+                    block_type=p.bottleneck_block
+                    if p.basic_encoder_block == "BottleneckBlockD"
+                    else "BasicBlockD",
+                    bottleneck_features=bn,
+                    squeeze_excitation=p.squeeze_excitation,
+                    se_ratio=p.squeeze_excitation_reduction_ratio,
+                    stochastic_depth_p=p.stochastic_depth_p,
+                    name=f"stage{s}", **common,
+                )(x, train=train)
+            else:
+                x = StackedConvBlocks(
+                    n_convs=p.n_blocks_per_stage[s],
+                    features=p.features_per_stage[s],
+                    kernel=p.kernel_sizes[s],
+                    initial_stride=p.strides[s],
+                    name=f"stage{s}", **common,
+                )(x, train=train)
+            skips.append(x)
+        return skips
+
+
+class Decoder(nn.Module):
+    """Per-task head: transpconv upsample + skip concat + conv stack per
+    resolution, 1x1 seg layer per stage (always instantiated so checkpoints
+    stay compatible across deep-supervision settings — reference:
+    builders/decoder.py:97-100) (reference: builders/decoder.py:16-162)."""
+
+    plan: NetworkPlan
+    num_classes: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, skips: List[jax.Array], *, train: bool = False):
+        p = self.plan
+        n = p.num_stages
+        common = dict(
+            conv_bias=p.conv_bias, norm_affine=p.norm_affine,
+            norm_eps=p.norm_eps, negative_slope=p.nonlin_negative_slope,
+            dropout_p=p.dropout_p, dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        x = skips[-1]
+        seg_outputs: List[jax.Array] = []
+        for s in range(1, n):
+            skip_features = p.features_per_stage[n - 1 - s]
+            stride = p.strides[n - s]
+            # upsample: transposed conv with kernel == stride == encoder
+            # stride at that level (reference: decoder.py:76-79)
+            x = nn.ConvTranspose(
+                features=skip_features, kernel_size=stride, strides=stride,
+                padding="VALID", use_bias=p.conv_bias,
+                kernel_init=nn.initializers.he_normal(),
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"up{s - 1}",
+            )(x)
+            x = jnp.concatenate([x, skips[n - 1 - s]], axis=-1)
+            if p.basic_decoder_block == "ResidualBlock":
+                x = StackedResidualBlocks(
+                    n_blocks=p.n_conv_per_stage_decoder[s - 1],
+                    features=skip_features,
+                    kernel=p.kernel_sizes[n - 1 - s],
+                    initial_stride=(1,) * p.dim,
+                    name=f"stage{s - 1}", **common,
+                )(x, train=train)
+            else:
+                x = StackedConvBlocks(
+                    n_convs=p.n_conv_per_stage_decoder[s - 1],
+                    features=skip_features,
+                    kernel=p.kernel_sizes[n - 1 - s],
+                    initial_stride=(1,) * p.dim,
+                    name=f"stage{s - 1}", **common,
+                )(x, train=train)
+            # seg layers are built for every stage (checkpoint compat);
+            # computed only when needed.
+            seg = nn.Conv(
+                features=self.num_classes, kernel_size=(1,) * p.dim,
+                strides=(1,) * p.dim, padding="VALID", use_bias=True,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"seg{s - 1}",
+            )
+            if p.deep_supervision or s == n - 1:
+                seg_outputs.append(seg(x))
+            elif self.is_initializing():
+                # Create this stage's seg params on a 1-voxel slice (1x1 conv
+                # params depend only on channel count) so deep-supervision
+                # checkpoints stay loadable either way, without paying the
+                # full-resolution compute (reference: decoder.py:97-100).
+                tiny = x[(slice(None),) + (slice(0, 1),) * p.dim + (slice(None),)]
+                _ = seg(tiny)
+        if p.deep_supervision:
+            return seg_outputs[::-1]
+        return seg_outputs[0]
+
+
+def _apply_activation(x: jax.Array, activation: str) -> jax.Array:
+    a = activation.lower()
+    if a == "sigmoid":
+        return jax.nn.sigmoid(x)
+    if a == "softmax":
+        return jax.nn.softmax(x, axis=-1)
+    return x
+
+
+class ResEncUNet(nn.Module):
+    """Multi-task network: shared Encoder, one Decoder per task.
+
+    forward(x: [N, D, H, W, C_in]) -> {task: [N, D, H, W, C_task]}
+    (reference: builders/build_network_from_config.py:312-326; activations
+    applied in eval mode only).
+    """
+
+    plan: NetworkPlan
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False) -> Dict[str, jax.Array]:
+        x = x.astype(self.dtype)
+        skips = Encoder(plan=self.plan, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="encoder")(
+            x, train=train)
+        results: Dict[str, jax.Array] = {}
+        for task in self.plan.tasks:
+            logits = Decoder(
+                plan=self.plan, num_classes=task.channels, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=f"decoder_{task.name}",
+            )(skips, train=train)
+            if isinstance(logits, list):
+                logits = [l.astype(jnp.float32) for l in logits]
+                if not train:
+                    logits = [_apply_activation(l, task.activation) for l in logits]
+            else:
+                logits = logits.astype(jnp.float32)
+                if not train:
+                    logits = _apply_activation(logits, task.activation)
+            results[task.name] = logits
+        return results
+
+
+def count_params(params) -> int:
+    """Total learnable parameter count
+    (reference: builders/utils.py:8-9 get_number_of_learnable_parameters)."""
+    return sum(int(x.size) for x in jax.tree.leaves(params))
