@@ -1,0 +1,276 @@
+"""Host-side augmentation stack in NumPy (per-sample, thread-parallel).
+
+Capability parity with the reference's pipeline:
+
+* intensity augmentations on the image only, mirroring the albumentations
+  stack (reference: dataloading/dataset.py:176-209): OneOf(brightness/contrast,
+  illumination) p=0.3; OneOf(multiplicative noise, gaussian noise) p=0.35;
+  OneOf(motion blur, defocus, downscale, advanced blur) p=0.4; 3-D coarse
+  dropout p=0.5 with fill 0.5, 1-4 holes of 10-40%% extent per axis.
+* normals-aware geometric augmentations — random flips and 90-degree
+  rotations that also transform the normal-vector components — with the
+  semantics of the reference's (unwired) transforms
+  (reference: training/transforms/geometric/geometry.py:5-148). Unlike the
+  reference, these ARE wired into the dataset (SURVEY.md §2.1 flags them as a
+  core capability left unconnected).
+
+Layout: all arrays are channels-last — (Z, Y, X) or (Z, Y, X, C); normals
+channels are ordered (nx, ny, nz) with x the fastest spatial axis, matching
+the reference's CZYX component convention transposed to channels-last.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+from scipy import ndimage as ndi
+
+
+# ----------------------------------------------------------------------
+# intensity transforms (image only, float volume roughly in [0, 1])
+# ----------------------------------------------------------------------
+
+def brightness_contrast(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    alpha = 1.0 + rng.uniform(-0.2, 0.2)   # contrast
+    beta = rng.uniform(-0.2, 0.2)          # brightness
+    return np.clip(x * alpha + beta, 0.0, 1.0)
+
+
+def illumination(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Smooth multiplicative gradient along a random axis."""
+    axis = int(rng.integers(0, 3))
+    strength = rng.uniform(0.05, 0.2)
+    n = x.shape[axis]
+    ramp = np.linspace(-strength, strength, n, dtype=np.float32)
+    if rng.random() < 0.5:
+        ramp = ramp[::-1]
+    shape = [1, 1, 1]
+    shape[axis] = n
+    return np.clip(x * (1.0 + ramp.reshape(shape)), 0.0, 1.0)
+
+
+def multiplicative_noise(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    factor = rng.uniform(0.9, 1.1)
+    return np.clip(x * factor, 0.0, 1.0)
+
+
+def gaussian_noise(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    std = rng.uniform(0.01, 0.05)
+    return np.clip(x + rng.normal(0.0, std, size=x.shape).astype(np.float32),
+                   0.0, 1.0)
+
+
+def _filter2d_slices(x: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """Apply a 2-D kernel to every Z slice."""
+    out = np.empty_like(x)
+    if _HAS_CV2:
+        for z in range(x.shape[0]):
+            out[z] = cv2.filter2D(x[z], -1, kernel)
+    else:
+        for z in range(x.shape[0]):
+            out[z] = ndi.convolve(x[z], kernel, mode="reflect")
+    return out
+
+
+def motion_blur(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    k = int(rng.integers(3, 8)) | 1
+    kernel = np.zeros((k, k), np.float32)
+    angle = rng.uniform(0, np.pi)
+    c = (k - 1) / 2
+    for i in range(k):
+        t = i - c
+        yy = int(round(c + t * np.sin(angle)))
+        xx = int(round(c + t * np.cos(angle)))
+        kernel[np.clip(yy, 0, k - 1), np.clip(xx, 0, k - 1)] = 1.0
+    kernel /= kernel.sum()
+    return _filter2d_slices(x, kernel)
+
+
+def defocus(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    radius = int(rng.integers(2, 5))
+    k = 2 * radius + 1
+    yy, xx = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    kernel = ((yy ** 2 + xx ** 2) <= radius ** 2).astype(np.float32)
+    kernel /= kernel.sum()
+    return _filter2d_slices(x, kernel)
+
+
+def downscale(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    scale = rng.uniform(0.25, 0.5)
+    h, w = x.shape[1], x.shape[2]
+    nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+    out = np.empty_like(x)
+    if _HAS_CV2:
+        for z in range(x.shape[0]):
+            small = cv2.resize(x[z], (nw, nh), interpolation=cv2.INTER_AREA)
+            out[z] = cv2.resize(small, (w, h), interpolation=cv2.INTER_LINEAR)
+    else:
+        zoom = (nh / h, nw / w)
+        for z in range(x.shape[0]):
+            small = ndi.zoom(x[z], zoom, order=1)
+            out[z] = ndi.zoom(small, (h / small.shape[0], w / small.shape[1]), order=1)
+            out[z] = out[z][:h, :w]
+    return out
+
+
+def advanced_blur(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    sy = rng.uniform(0.2, 1.5)
+    sx = rng.uniform(0.2, 1.5)
+    return ndi.gaussian_filter(x, sigma=(0.0, sy, sx), mode="reflect")
+
+
+def coarse_dropout_3d(x: np.ndarray, rng: np.random.Generator,
+                      fill: float = 0.5,
+                      num_holes: Tuple[int, int] = (1, 4),
+                      extent: Tuple[float, float] = (0.1, 0.4)) -> np.ndarray:
+    """Volumetric cutout (reference: dataset.py:193-201 CoarseDropout3D)."""
+    out = x.copy()
+    d, h, w = x.shape[:3]
+    for _ in range(int(rng.integers(num_holes[0], num_holes[1] + 1))):
+        hd = max(1, int(d * rng.uniform(*extent)))
+        hh = max(1, int(h * rng.uniform(*extent)))
+        hw = max(1, int(w * rng.uniform(*extent)))
+        z0 = int(rng.integers(0, max(1, d - hd + 1)))
+        y0 = int(rng.integers(0, max(1, h - hh + 1)))
+        x0 = int(rng.integers(0, max(1, w - hw + 1)))
+        out[z0:z0 + hd, y0:y0 + hh, x0:x0 + hw] = fill
+    return out
+
+
+# ----------------------------------------------------------------------
+# normals-aware geometric transforms
+# ----------------------------------------------------------------------
+
+_NORMAL_KEYS = ("normals",)
+
+
+def flip_with_normals(data: Dict[str, np.ndarray], axis: int,
+                      normal_keys=_NORMAL_KEYS) -> Dict[str, np.ndarray]:
+    """Flip all arrays along spatial axis (0=Z, 1=Y, 2=X) and negate the
+    matching normal component: Z->nz, Y->ny, X->nx
+    (reference semantics: geometry.py:36-67, adapted to channels-last)."""
+    comp = {0: 2, 1: 1, 2: 0}[axis]
+    out = {}
+    for k, arr in data.items():
+        flipped = np.flip(arr, axis=axis).copy()
+        if k in normal_keys and arr.ndim == 4:
+            flipped[..., comp] = -flipped[..., comp]
+        out[k] = flipped
+    return out
+
+
+# rot90 component remapping tables: (axis, k) -> function of (nx, ny, nz).
+# Derived from right-handed 90-degree rotations of the (x, y, z) vector basis
+# consistent with np.rot90 on the corresponding spatial plane
+# (reference semantics: geometry.py:119-140).
+def _rotate_components(nx, ny, nz, axis: str, k: int):
+    if axis == "z":
+        if k == 1:
+            return ny, -nx, nz
+        if k == 2:
+            return -nx, -ny, nz
+        return -ny, nx, nz
+    if axis == "y":
+        if k == 1:
+            return nz, ny, -nx
+        if k == 2:
+            return -nx, ny, -nz
+        return -nz, ny, nx
+    # axis == 'x'
+    if k == 1:
+        return nx, nz, -ny
+    if k == 2:
+        return nx, -ny, -nz
+    return nx, -nz, ny
+
+
+_ROT_PLANES = {"z": (1, 2), "y": (0, 2), "x": (0, 1)}  # spatial axes (Z,Y,X)
+
+
+def rot90_with_normals(data: Dict[str, np.ndarray], axis: str, k: int,
+                       normal_keys=_NORMAL_KEYS) -> Dict[str, np.ndarray]:
+    """Rotate all arrays k*90 degrees about the given axis and permute normal
+    components accordingly."""
+    plane = _ROT_PLANES[axis]
+    out = {}
+    for key, arr in data.items():
+        rot = np.rot90(arr, k=k, axes=plane).copy()
+        if key in normal_keys and arr.ndim == 4:
+            nx = rot[..., 0].copy()
+            ny = rot[..., 1].copy()
+            nz = rot[..., 2].copy()
+            rx, ry, rz = _rotate_components(nx, ny, nz, axis, k)
+            rot[..., 0], rot[..., 1], rot[..., 2] = rx, ry, rz
+        out[key] = rot
+    return out
+
+
+# ----------------------------------------------------------------------
+# composed pipeline
+# ----------------------------------------------------------------------
+
+@dataclasses.dataclass
+class AugmentationPipeline:
+    """Stochastic pipeline applied per sample.
+
+    Probabilities mirror the reference (dataset.py:176-201); geometric
+    transforms are additive capability (p_flip/p_rot90 default 0.5/0.25,
+    matching the defaults of the reference's unwired geometry classes).
+    """
+
+    p_intensity_1: float = 0.3   # brightness/contrast | illumination
+    p_intensity_2: float = 0.35  # mult noise | gauss noise
+    p_blur: float = 0.4          # motion | defocus | downscale | advanced
+    p_cutout: float = 0.5
+    p_flip_axis: float = 0.5
+    p_flip_transform: float = 0.5
+    p_rot90: float = 0.25
+    enable_geometric: bool = True
+    normal_keys: Tuple[str, ...] = _NORMAL_KEYS
+
+    def __call__(self, data: Dict[str, np.ndarray],
+                 rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        img = data["image"].astype(np.float32)
+        squeeze = img.ndim == 4 and img.shape[-1] == 1
+        vol = img[..., 0] if squeeze else img
+
+        if rng.random() < self.p_intensity_1:
+            fn = brightness_contrast if rng.random() < 0.5 else illumination
+            vol = fn(vol, rng)
+        if rng.random() < self.p_intensity_2:
+            fn = multiplicative_noise if rng.random() < 0.5 else gaussian_noise
+            vol = fn(vol, rng)
+        if rng.random() < self.p_blur:
+            fn = (motion_blur, defocus, downscale, advanced_blur)[int(rng.integers(0, 4))]
+            vol = fn(vol, rng)
+        if rng.random() < self.p_cutout:
+            vol = coarse_dropout_3d(vol, rng)
+
+        data = dict(data)
+        data["image"] = vol[..., None] if squeeze else vol
+
+        if self.enable_geometric:
+            if rng.random() < self.p_flip_transform:
+                for axis in (0, 1, 2):
+                    if rng.random() < self.p_flip_axis:
+                        data = flip_with_normals(data, axis, self.normal_keys)
+            if rng.random() < self.p_rot90:
+                # only rotate in planes where the two axes have equal extent
+                # (rot90 of a non-square plane would change the patch shape)
+                img_shape = data["image"].shape
+                choices = [a for a, (i, j) in _ROT_PLANES.items()
+                           if img_shape[i] == img_shape[j]]
+                if choices:
+                    axis = choices[int(rng.integers(0, len(choices)))]
+                    k = int(rng.integers(1, 4))
+                    data = rot90_with_normals(data, axis, k, self.normal_keys)
+        return data

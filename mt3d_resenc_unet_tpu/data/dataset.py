@@ -1,0 +1,164 @@
+"""Zarr patch dataset for multi-task training.
+
+Parity with the reference ZarrSegmentationDataset3D
+(reference: dataloading/dataset.py:18-227):
+
+* per-volume path dicts with a ``ref_label`` selector driving valid-patch
+  mining with JSON cache (dataset.py:53-98);
+* dtype normalization uint8/255, uint16/65535 (dataset.py:125-131);
+* normals decode uint16 -> [-1,1] via /32767.5 - 1 (dataset.py:147-155);
+* optional binarize + spherical dilation of labels (dataset.py:163-165);
+* intensity augmentations on image only + volumetric cutout
+  (dataset.py:176-209), extended with the normals-aware geometric
+  transforms the reference shipped but never wired in;
+* emits a dict of float32 arrays — but channels-LAST (D, H, W, C), the
+  TPU-native layout, instead of the reference's (C, Z, Y, X).
+
+TPU rework: tensorstore handles are thread-safe, so volumes are opened once
+and shared across prefetch threads — no fork-per-worker, no per-__getitem__
+store reopening (the reference reopens every store on every sample for fork
+safety, dataset.py:36-38,114-124).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from scipy import ndimage as ndi
+
+from .augment import AugmentationPipeline
+from .patches import PatchCache, find_valid_patches
+from .zio import Volume, decode_normals, normalize_to_unit, open_zarr
+
+
+def _ball(radius: int) -> np.ndarray:
+    """Spherical structuring element (replacement for
+    skimage.morphology.ball; reference: dataset.py:9,165)."""
+    r = int(radius)
+    zz, yy, xx = np.mgrid[-r:r + 1, -r:r + 1, -r:r + 1]
+    return (zz ** 2 + yy ** 2 + xx ** 2) <= r ** 2
+
+
+_BALL5 = None
+
+
+def dilate_binary(mask: np.ndarray, radius: int = 5) -> np.ndarray:
+    global _BALL5
+    if _BALL5 is None or _BALL5.shape[0] != 2 * radius + 1:
+        _BALL5 = _ball(radius)
+    return ndi.binary_dilation(mask, structure=_BALL5).astype(np.float32)
+
+
+@dataclasses.dataclass
+class VolumeEntry:
+    input: Volume
+    targets: Dict[str, Volume]
+    ref_label_key: str
+
+
+class ZarrPatchDataset:
+    """Index-addressable patch sampler over N volumes."""
+
+    def __init__(self, mgr, *, augment: bool = True,
+                 pipeline: Optional[AugmentationPipeline] = None,
+                 seed: int = 0):
+        self.mgr = mgr
+        self.patch_size = tuple(mgr.train_patch_size)
+        self.tasks = mgr.tasks
+        self.dilate_label = mgr.dilate_label
+        self.augment = augment
+        self.pipeline = pipeline or AugmentationPipeline()
+        self.seed = seed
+
+        self.volumes: List[VolumeEntry] = []
+        for vol_idx, vol_info in enumerate(mgr.volume_paths):
+            ref_label_key = vol_info.get("ref_label", "sheet")
+            targets = {}
+            for task_name in self.tasks.keys():
+                if task_name not in vol_info:
+                    raise ValueError(
+                        f"Volume {vol_idx} missing path for '{task_name}'")
+                targets[task_name] = open_zarr(vol_info[task_name])
+            self.volumes.append(VolumeEntry(
+                input=open_zarr(vol_info["input"]),
+                targets=targets,
+                ref_label_key=ref_label_key,
+            ))
+
+        cache = PatchCache(mgr.cache_folder, mgr.model_name, self.patch_size)
+        patches = cache.load() if mgr.use_cache else None
+        if patches is None:
+            patches = []
+            for vol_idx, entry in enumerate(self.volumes):
+                vol_patches = find_valid_patches(
+                    entry.targets[entry.ref_label_key],
+                    patch_size=self.patch_size,
+                    bbox_threshold=mgr.min_bbox_percent,
+                    label_threshold=mgr.min_labeled_ratio,
+                )
+                for p in vol_patches:
+                    p["volume_idx"] = vol_idx
+                patches.extend(vol_patches)
+            if mgr.use_cache:
+                cache.save(patches)
+        self.all_valid_patches = patches
+
+    def __len__(self) -> int:
+        return len(self.all_valid_patches)
+
+    # ------------------------------------------------------------------
+    def _read_patch(self, vol: Volume, zyx, *, is_normals: bool) -> np.ndarray:
+        z0, y0, x0 = zyx
+        dz, dy, dx = self.patch_size
+        shape = vol.shape
+        if len(shape) == 3:
+            raw = vol[z0:z0 + dz, y0:y0 + dy, x0:x0 + dx]
+        elif len(shape) == 4 and shape[-1] <= 8:
+            # stored channels-last (Z, Y, X, C)
+            raw = vol[z0:z0 + dz, y0:y0 + dy, x0:x0 + dx, :]
+        elif len(shape) == 4:
+            # stored channels-first (C, Z, Y, X) -> to channels-last
+            raw = vol[:, z0:z0 + dz, y0:y0 + dy, x0:x0 + dx]
+            raw = np.moveaxis(raw, 0, -1)
+        else:
+            raise ValueError(f"Unsupported volume rank: {shape}")
+        if is_normals:
+            return decode_normals(raw, vol.dtype)
+        return normalize_to_unit(raw, vol.dtype)
+
+    def get_raw(self, idx: int) -> Dict[str, np.ndarray]:
+        """Sample without augmentation; channels-last float32."""
+        info = self.all_valid_patches[idx]
+        entry = self.volumes[info["volume_idx"]]
+        zyx = tuple(int(v) for v in info["start_pos"])
+
+        img = self._read_patch(entry.input, zyx, is_normals=False)
+        if img.ndim == 3:
+            img = img[..., None]
+        data: Dict[str, np.ndarray] = {"image": img}
+
+        for task_name, tvol in entry.targets.items():
+            is_normals = task_name.lower() == "normals"
+            t = self._read_patch(tvol, zyx, is_normals=is_normals)
+            if not is_normals:
+                if self.dilate_label:
+                    t = dilate_binary(t > 0)
+                if t.ndim == 3:
+                    t = t[..., None]
+            data[task_name] = t.astype(np.float32)
+        return data
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        data = self.get_raw(idx)
+        if self.augment:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, idx, len(self)]))
+            data = self.pipeline(data, rng)
+        return {k: np.ascontiguousarray(v, dtype=np.float32)
+                for k, v in data.items()}
+
+    def set_seed(self, seed: int) -> None:
+        """Reseed augmentation randomness (per epoch)."""
+        self.seed = seed

@@ -1,0 +1,186 @@
+"""Jitted training/eval steps: multi-task loss, gradient accumulation,
+clipping, cosine schedule.
+
+Reimplements the reference training semantics (reference: train.py:175-240)
+the XLA way:
+
+* the whole optimizer step — forward, backward, per-task weighting, gradient
+  accumulation, global-norm clip, parameter update — is ONE compiled program;
+* gradient accumulation is a ``lax.scan`` over microbatches inside the step
+  (reference divides the loss by ``grad_accumulate_n`` and calls
+  ``optimizer.step`` every N python iterations — train.py:222-230);
+* mixed precision is bf16 compute / fp32 params+optimizer state, so no
+  GradScaler is needed (TPU bf16 has fp32-range exponents, unlike fp16);
+* the LR schedule is cosine over epochs with eta_min=0
+  (reference: train.py:87-91 CosineAnnealingLR stepped once per epoch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+
+from .losses import Loss
+
+
+class TrainState(train_state.TrainState):
+    """Carries the droppath/dropout RNG key alongside params/opt state."""
+
+    rng: jax.Array = None
+
+
+def cosine_epoch_schedule(initial_lr: float, max_epoch: int,
+                          steps_per_epoch: int) -> optax.Schedule:
+    """lr(step) = 0.5 * lr0 * (1 + cos(pi * epoch / max_epoch)), epoch-quantized
+    to match torch CosineAnnealingLR stepped per epoch
+    (reference: train.py:87-91, 336)."""
+
+    def schedule(step):
+        epoch = jnp.minimum(step // steps_per_epoch, max_epoch)
+        return 0.5 * initial_lr * (1.0 + jnp.cos(jnp.pi * epoch / max_epoch))
+
+    return schedule
+
+
+def build_optimizer(
+    optimizer_name: str,
+    schedule: optax.Schedule,
+    weight_decay: float = 0.0,
+    grad_clip_norm: float = 3.0,
+) -> optax.GradientTransformation:
+    """AdamW (default) or SGD+nesterov(momentum .9), preceded by global-norm
+    clipping at 3 (reference: train.py:69-84, 227)."""
+    if optimizer_name.lower() == "sgd":
+        opt = optax.chain(
+            optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
+            optax.sgd(learning_rate=schedule, momentum=0.9, nesterov=True),
+        )
+    else:
+        opt = optax.adamw(learning_rate=schedule, weight_decay=weight_decay)
+    return optax.chain(optax.clip_by_global_norm(grad_clip_norm), opt)
+
+
+def multitask_loss(
+    outputs: Mapping[str, jax.Array],
+    targets: Mapping[str, jax.Array],
+    loss_fns: Mapping[str, Loss],
+    task_weights: Mapping[str, float],
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Weighted sum of per-task losses (reference: train.py:208-218)."""
+    total = jnp.zeros((), jnp.float32)
+    per_task: Dict[str, jax.Array] = {}
+    for name, fn in loss_fns.items():
+        l = fn(outputs[name], targets[name]) * task_weights.get(name, 1.0)
+        per_task[name] = l
+        total = total + l
+    return total, per_task
+
+
+def make_train_step(
+    model,
+    loss_fns: Mapping[str, Loss],
+    task_weights: Mapping[str, float],
+    grad_accum_steps: int = 1,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build the jitted train step.
+
+    The batch dict must contain 'image' plus one entry per task, each with
+    leading dimension ``grad_accum_steps * microbatch``.
+    """
+    loss_fns = dict(loss_fns)
+    task_weights = dict(task_weights)
+
+    def loss_for_micro(params, micro, rng):
+        d_rng, p_rng = jax.random.split(rng)
+        outputs = model.apply(
+            {"params": params}, micro["image"], train=True,
+            rngs={"dropout": d_rng, "droppath": p_rng})
+        targets = {k: v for k, v in micro.items() if k != "image"}
+        return multitask_loss(outputs, targets, loss_fns, task_weights)
+
+    grad_fn = jax.value_and_grad(loss_for_micro, has_aux=True)
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        if grad_accum_steps == 1:
+            (total, per_task), grads = grad_fn(state.params, batch, step_rng)
+        else:
+            def split_micro(x):
+                return x.reshape((grad_accum_steps, x.shape[0] // grad_accum_steps)
+                                 + x.shape[1:])
+
+            micros = jax.tree.map(split_micro, batch)
+
+            def body(carry, inp):
+                grads_acc, total_acc, pt_acc = carry
+                micro, idx = inp
+                rng = jax.random.fold_in(step_rng, idx)
+                (total, per_task), grads = grad_fn(state.params, micro, rng)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                pt_acc = jax.tree.map(jnp.add, pt_acc, per_task)
+                return (grads_acc, total_acc + total, pt_acc), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            zero_pt = {k: jnp.zeros((), jnp.float32) for k in loss_fns}
+            (grads, total, per_task), _ = jax.lax.scan(
+                body,
+                (zero_grads, jnp.zeros((), jnp.float32), zero_pt),
+                (micros, jnp.arange(grad_accum_steps)),
+            )
+            inv = 1.0 / grad_accum_steps
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            total = total * inv
+            per_task = jax.tree.map(lambda l: l * inv, per_task)
+
+        new_state = state.apply_gradients(grads=grads)
+        metrics = dict(per_task)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    model,
+    loss_fns: Mapping[str, Loss],
+) -> Callable[[Any, Dict[str, jax.Array]], Dict[str, jax.Array]]:
+    """Validation: unweighted per-task losses on train-mode logits
+    (reference: train.py:268-297 computes val losses without task weights,
+    under model.eval() — but the loss is applied to raw logits because the
+    reference's eval-mode activation happens *inside* forward; we evaluate
+    losses on logits exactly as training does for comparability)."""
+    loss_fns = dict(loss_fns)
+
+    def eval_step(params, batch):
+        outputs = model.apply({"params": params}, batch["image"], train=True)
+        targets = {k: v for k, v in batch.items() if k != "image"}
+        metrics = {}
+        total = jnp.zeros((), jnp.float32)
+        for name, fn in loss_fns.items():
+            l = fn(outputs[name], targets[name])
+            metrics[name] = l
+            total = total + l
+        metrics["total_loss"] = total
+        return metrics
+
+    return jax.jit(eval_step)
+
+
+def make_predict_step(model) -> Callable[[Any, jax.Array], Dict[str, jax.Array]]:
+    """Eval-mode forward with per-task activations applied (reference model
+    forward in eval: build_network_from_config.py:321-323)."""
+
+    def predict(params, image):
+        return model.apply({"params": params}, image, train=False)
+
+    return jax.jit(predict)
