@@ -1,0 +1,308 @@
+"""Trainer: config-driven multi-task training under pjit data parallelism.
+
+Parity with the reference BaseTrainer (reference: train.py:19-350), keeping
+the same seven extension points (_build_model/_configure_dataset/_build_loss/
+_get_optimizer/_get_scheduler/_configure_dataloaders plus _build_plan), the
+same loop semantics (max_steps_per_epoch batches, per-task weighted losses,
+gradient accumulation, clip-grad-norm 3, cosine LR per epoch, per-epoch
+checkpoints with keep-10 GC, per-epoch validation with batch size 1 and a
+debug GIF on the first val batch, final weights dump) — rebuilt the TPU way:
+
+* ONE jitted train step contains forward+backward+accumulation+clip+update;
+* bf16 compute / fp32 params replaces AMP GradScaler (no scaler on TPU);
+* batches are sharded over the ``data`` mesh axis; XLA inserts the gradient
+  all-reduce over ICI (the reference is single-GPU — SURVEY.md §2.4);
+* checkpoints are Orbax (resume / weights-only / non-strict modes).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import ConfigManager
+from ..core.plan import NetworkPlan
+from ..data.dataset import ZarrPatchDataset
+from ..data.pipeline import batch_iterator, device_prefetch, train_val_split
+from ..models.network import ResEncUNet, count_params
+from ..parallel.mesh import make_mesh, pad_batch_to_devices, replicate
+from .checkpoint import CheckpointManager, merge_params_nonstrict, save_params
+from .losses import build_task_losses
+from .metrics import MetricsWriter
+from .step import (
+    TrainState,
+    build_optimizer,
+    cosine_epoch_schedule,
+    make_eval_step,
+    make_predict_step,
+    make_train_step,
+)
+from .visualization import export_data_dict_as_tif, save_debug_gif
+
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+           "float16": jnp.float16}
+
+
+class Trainer:
+    """Config-driven trainer. Subclass and override any _build/_get/_configure
+    method to customize (reference extension model: train.py:29-120)."""
+
+    def __init__(self, config_file: Optional[str] = None, verbose: bool = True,
+                 debug_dataloader: bool = False,
+                 config_dict: Optional[Dict[str, Any]] = None):
+        self.mgr = ConfigManager(config_file, config_dict, verbose=verbose)
+        self.debug_dataloader = debug_dataloader
+
+    # ------------------------------------------------------------- builders
+    def _build_plan(self) -> NetworkPlan:
+        return self.mgr.build_plan()
+
+    def _build_model(self, plan: NetworkPlan) -> ResEncUNet:
+        return ResEncUNet(
+            plan=plan,
+            dtype=_DTYPES[self.mgr.compute_dtype],
+            param_dtype=_DTYPES[self.mgr.param_dtype],
+        )
+
+    def _configure_dataset(self) -> ZarrPatchDataset:
+        return ZarrPatchDataset(self.mgr, seed=self.mgr.seed)
+
+    def _build_loss(self):
+        return build_task_losses(self.mgr.tasks, self.mgr.ignore_label)
+
+    def _get_scheduler(self, opt_steps_per_epoch: int):
+        return cosine_epoch_schedule(
+            self.mgr.initial_lr, self.mgr.max_epoch, opt_steps_per_epoch)
+
+    def _get_optimizer(self, schedule):
+        return build_optimizer(
+            self.mgr.optimizer, schedule,
+            weight_decay=self.mgr.weight_decay,
+            grad_clip_norm=self.mgr.grad_clip_norm)
+
+    def _configure_dataloaders(self, dataset) -> Tuple[List[int], List[int]]:
+        return train_val_split(len(dataset), self.mgr.tr_val_split,
+                               seed=self.mgr.seed)
+
+    # --------------------------------------------------------------- helpers
+    def _init_state(self, model, plan, tx, mesh) -> TrainState:
+        patch = tuple(plan.patch_size) or tuple(self.mgr.train_patch_size)
+        sample = jnp.zeros((1,) + patch + (plan.in_channels,), jnp.float32)
+        rng = jax.random.key(self.mgr.seed)
+
+        @jax.jit
+        def init(rng, sample):
+            variables = model.init({"params": rng}, sample, train=False)
+            return variables["params"]
+
+        params = init(rng, sample)
+        params = replicate(params, mesh)
+        state = TrainState.create(
+            apply_fn=model.apply, params=params, tx=tx,
+            rng=jax.random.key(self.mgr.seed + 1))
+        return state
+
+    def _microbatch_size(self, mesh) -> int:
+        n_dev = mesh.devices.size
+        b = pad_batch_to_devices(self.mgr.train_batch_size, n_dev)
+        if b != self.mgr.train_batch_size:
+            print(f"[trainer] batch_size {self.mgr.train_batch_size} rounded "
+                  f"up to {b} for {n_dev}-device data parallelism")
+        return b
+
+    # ------------------------------------------------------------------ train
+    def train(self) -> Dict[str, Any]:
+        mgr = self.mgr
+        plan = self._build_plan()
+        model = self._build_model(plan)
+        loss_fns = self._build_loss()
+        task_weights = {name: float(info.get("weight", 1.0))
+                        for name, info in mgr.tasks.items()}
+        dataset = self._configure_dataset()
+
+        if self.debug_dataloader:
+            export_data_dict_as_tif(dataset, num_batches=25,
+                                    out_dir="debug_dir")
+            print("Debug dataloader dumps written to debug_dir/; "
+                  "exiting before training (parity with --debug_dataloader).")
+            return {}
+
+        mesh = make_mesh(mgr.mesh_shape, (mgr.dp_axis,))
+        micro_bs = self._microbatch_size(mesh)
+        accum = max(1, mgr.gradient_accumulation)
+        opt_steps_per_epoch = max(1, mgr.max_steps_per_epoch // accum)
+
+        schedule = self._get_scheduler(opt_steps_per_epoch)
+        tx = self._get_optimizer(schedule)
+        state = self._init_state(model, plan, tx, mesh)
+        print(f"[trainer] model '{plan.model_name}': "
+              f"{count_params(state.params):,} params, "
+              f"{mesh.devices.size} device(s), patch {plan.patch_size}, "
+              f"microbatch {micro_bs} x accum {accum}")
+
+        ckpt = CheckpointManager(mgr.ckpt_out_base, mgr.model_name,
+                                 keep=mgr.ckpt_keep)
+        start_epoch = 0
+        if mgr.checkpoint_path is not None and Path(mgr.checkpoint_path).exists():
+            state, start_epoch = self._restore(
+                mgr.checkpoint_path, state, mgr)
+        elif ckpt.latest_epoch() is not None and mgr.checkpoint_path is None \
+                and mgr.tr_info.get("auto_resume", False):
+            restored = ckpt.restore(template=_state_template(state))
+            state = state.replace(
+                params=restored["params"], opt_state=restored["opt_state"],
+                step=jnp.asarray(restored["step"]))
+            start_epoch = int(restored["epoch"]) + 1
+            print(f"[trainer] auto-resumed from epoch {start_epoch}")
+
+        train_step = make_train_step(model, loss_fns, task_weights,
+                                     grad_accum_steps=accum,
+                                     donate=mgr.donate_state)
+        eval_step = make_eval_step(model, loss_fns)
+        predict_step = make_predict_step(model)
+
+        writer = MetricsWriter(mgr.tensorboard_log_dir, mgr.model_name)
+        train_idx, val_idx = self._configure_dataloaders(dataset)
+        ep_rng = np.random.default_rng(mgr.seed)
+
+        history = []
+        for epoch in range(start_epoch, mgr.max_epoch):
+            dataset.set_seed(mgr.seed * 100003 + epoch)
+            perm = ep_rng.permutation(len(train_idx)).tolist()
+            epoch_indices = [train_idx[i] for i in perm]
+            # each optimizer step consumes micro_bs * accum samples
+            step_samples = micro_bs * accum
+            need = opt_steps_per_epoch * step_samples
+            while len(epoch_indices) < need and epoch_indices:
+                epoch_indices = epoch_indices + epoch_indices
+            epoch_indices = epoch_indices[:need]
+
+            running = {t: 0.0 for t in mgr.tasks}
+            steps = 0
+            t_start = time.time()
+            batches = batch_iterator(
+                dataset, epoch_indices, step_samples,
+                num_threads=mgr.train_num_dataloader_workers)
+            for batch in device_prefetch(batches, mesh, mgr.dp_axis):
+                state, metrics = train_step(state, batch)
+                steps += 1
+                for t in mgr.tasks:
+                    running[t] += float(metrics[t])
+                if steps >= opt_steps_per_epoch:
+                    break
+            dt = time.time() - t_start
+            if steps == 0:
+                raise RuntimeError("No training batches produced — "
+                                   "check dataset/patch mining results")
+
+            epoch_means = {f"train/{t}_loss": running[t] / steps
+                           for t in mgr.tasks}
+            epoch_means["train/patches_per_sec"] = steps * step_samples / max(dt, 1e-9)
+            writer.write(epoch, epoch_means)
+            print(f"[epoch {epoch + 1}/{mgr.max_epoch}] " +
+                  " | ".join(f"{t}: {running[t] / steps:.4f}"
+                             for t in mgr.tasks) +
+                  f" | {epoch_means['train/patches_per_sec']:.2f} patches/s")
+
+            # ---- checkpoint (keep-N GC handled by orbax) ----
+            ckpt.save(epoch, {
+                "params": jax.device_get(state.params),
+                "opt_state": jax.device_get(state.opt_state),
+                "step": int(state.step),
+                "epoch": epoch,
+            })
+
+            # ---- validation ----
+            val_metrics = self._validate(
+                dataset, val_idx, state, eval_step, predict_step,
+                mesh, epoch, writer)
+            history.append({"epoch": epoch, **epoch_means, **val_metrics})
+
+        save_params(Path(f"{mgr.model_name}_final").absolute(),
+                    jax.device_get(state.params))
+        writer.close()
+        ckpt.close()
+        print("Training Finished!")
+        return {"state": state, "history": history, "plan": plan}
+
+    # ------------------------------------------------------------------ utils
+    def _restore(self, path, state, mgr):
+        from .checkpoint import restore_flexible
+        if mgr.load_weights_only:
+            restored = restore_flexible(
+                path, _state_template(state), params_only_ok=True)
+            state = state.replace(params=restored["params"])
+            print("[trainer] loaded model weights only; fresh optimizer "
+                  "state (fine-tune mode)")
+            return state, 0
+        restored = restore_flexible(path, _state_template(state))
+        state = state.replace(
+            params=restored["params"], opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"]))
+        start_epoch = int(restored["epoch"]) + 1
+        print(f"[trainer] resuming from epoch {start_epoch + 1}")
+        return state, start_epoch
+
+    def _validate(self, dataset, val_idx, state, eval_step, predict_step,
+                  mesh, epoch, writer) -> Dict[str, float]:
+        mgr = self.mgr
+        if not val_idx:
+            return {}
+        was_aug = dataset.augment
+        dataset.augment = False
+        try:
+            n = min(mgr.max_val_steps_per_epoch, len(val_idx))
+            running = {t: 0.0 for t in mgr.tasks}
+            steps = 0
+            first_batch = None
+            for batch in device_prefetch(
+                    batch_iterator(dataset, val_idx[:n], 1,
+                                   num_threads=mgr.train_num_dataloader_workers),
+                    mesh=None):
+                m = eval_step(state.params, batch)
+                for t in mgr.tasks:
+                    running[t] += float(m[t])
+                if first_batch is None:
+                    first_batch = batch
+                steps += 1
+            if steps == 0:
+                return {}
+            out = {f"val/{t}_loss": running[t] / steps for t in mgr.tasks}
+            writer.write(epoch, out)
+            print("[val] " + " | ".join(
+                f"{t}: {running[t] / steps:.4f}" for t in mgr.tasks))
+            # debug GIF on the first val batch (reference: train.py:299-320)
+            try:
+                preds = predict_step(state.params, first_batch["image"])
+                save_debug_gif(
+                    input_volume=np.asarray(first_batch["image"]),
+                    targets_dict={t: np.asarray(first_batch[t])
+                                  for t in mgr.tasks},
+                    outputs_dict={t: np.asarray(preds[t]) for t in mgr.tasks},
+                    tasks_dict=mgr.tasks,
+                    epoch=epoch,
+                    save_path=f"{mgr.model_name}_debug.gif")
+            except Exception as e:  # visualization must never kill training
+                print(f"[val] debug gif skipped: {e}")
+            return out
+        finally:
+            dataset.augment = was_aug
+
+
+def _state_template(state: TrainState) -> Dict[str, Any]:
+    return {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": 0,
+        "epoch": 0,
+    }
+
+
+# Back-compat alias matching the reference class name (train.py:19)
+BaseTrainer = Trainer
