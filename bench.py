@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Benchmark harness: flagship-model training throughput on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: training patches/sec/chip at 128^3 (bf16 compute, fp32 params) on
+the autoconfigured nnU-Net-ResEnc-M-scale multi-task net (sheet+normals),
+full train step (fwd+bwd+clip+AdamW update) — the BASELINE.json north-star
+metric.
+
+vs_baseline: the reference publishes NO numbers (BASELINE.md), so the ratio
+is against an estimated PyTorch-on-A100 throughput for the same model/patch
+(ESTIMATED_A100_PATCHES_PER_SEC below, from nnU-Net-class experience:
+torch.compile + AMP, batch 2, ~0.2 s/iter). Replace with a measured value
+when A100 hardware is available; the estimate is documented in BASELINE.md.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ESTIMATED_A100_PATCHES_PER_SEC = 10.0
+
+
+def build(batch, patch, accum=1):
+    from mt3d_resenc_unet_tpu.core.plan import TaskHead, plan_from_autoconfig
+    from mt3d_resenc_unet_tpu.models.network import ResEncUNet
+    from mt3d_resenc_unet_tpu.train.losses import build_task_losses
+    from mt3d_resenc_unet_tpu.train.step import (
+        TrainState, build_optimizer, cosine_epoch_schedule, make_train_step)
+
+    plan = plan_from_autoconfig(
+        patch, in_channels=1,
+        tasks=[TaskHead("sheet", 1, "sigmoid"),
+               TaskHead("normals", 3, "none")],
+        model_name="bench")
+    model = ResEncUNet(plan=plan, dtype=jnp.bfloat16)
+    x = jnp.zeros((1,) + patch + (1,), jnp.float32)
+    params = jax.jit(lambda: model.init(
+        {"params": jax.random.key(0)}, x, train=False))()["params"]
+    loss_fns = build_task_losses({
+        "sheet": {"loss_fn": "BCEDiceLoss",
+                  "loss_kwargs": {"alpha": 0.5, "beta": 0.5}},
+        "normals": {"loss_fn": "MaskedCosineLoss"},
+    })
+    tx = build_optimizer("AdamW", cosine_epoch_schedule(1e-3, 500, 250),
+                         weight_decay=1e-4, grad_clip_norm=3.0)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx,
+                              rng=jax.random.key(1))
+    step = make_train_step(model, loss_fns, {"sheet": 1.0, "normals": 1.0},
+                           grad_accum_steps=accum, donate=True)
+
+    rng = np.random.default_rng(0)
+    n = batch * accum
+    batch_data = {
+        "image": jnp.asarray(rng.random((n,) + patch + (1,), np.float32)),
+        "sheet": jnp.asarray(
+            (rng.random((n,) + patch + (1,)) > 0.5).astype(np.float32)),
+        "normals": jnp.asarray(
+            rng.standard_normal((n,) + patch + (3,)).astype(np.float32)),
+    }
+    return state, step, batch_data
+
+
+def run_bench(batch, patch, steps, warmup):
+    state, step, data = build(batch, patch)
+    # compile + warmup; fetch the loss to force real execution (the axon
+    # remote platform has been observed to elide chained async dispatches)
+    for _ in range(warmup):
+        state, metrics = step(state, data)
+        float(metrics["total_loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, data)
+        loss = float(metrics["total_loss"])  # per-step sync: honest timing
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss)
+    return batch * steps / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--patch", type=int, nargs=3, default=[128, 128, 128])
+    p.add_argument("--batch", type=int, default=0, help="0 = auto-select")
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    args = p.parse_args()
+
+    patch = tuple(args.patch)
+    candidates = [args.batch] if args.batch else [8, 4, 2, 1]
+    value = None
+    used_batch = None
+    for b in candidates:
+        try:
+            value = run_bench(b, patch, args.steps, args.warmup)
+            used_batch = b
+            break
+        except Exception as e:
+            msg = str(e)
+            if any(s in msg for s in (
+                    "RESOURCE_EXHAUSTED", "Out of memory", "out of memory",
+                    "exceeds the amount", "Ran out of memory",
+                    "Exceeded hbm capacity", "tpu_compile_helper")):
+                print(f"[bench] batch {b} OOM, trying smaller",
+                      file=sys.stderr)
+                continue
+            raise
+    if value is None:
+        raise RuntimeError("all batch sizes OOMed")
+
+    n_chips = max(1, len(jax.devices()))
+    per_chip = value / n_chips
+    print(f"[bench] batch={used_batch} patch={patch} devices={n_chips}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "train_patches_per_sec_per_chip_128cubed",
+        "value": round(per_chip, 3),
+        "unit": "patches/s/chip",
+        "vs_baseline": round(per_chip / ESTIMATED_A100_PATCHES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

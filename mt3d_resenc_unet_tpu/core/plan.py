@@ -206,6 +206,9 @@ class NetworkPlan:
     squeeze_excitation_reduction_ratio: float = 1.0 / 16.0
     stochastic_depth_p: float = 0.0
     deep_supervision: bool = False
+    # Rematerialize per-block activations in backward (jax.checkpoint) —
+    # trades ~1.3x FLOPs for the activation memory that dominates 3D U-Nets.
+    remat: bool = True
 
     # The patch size the plan was derived for (padded to pool divisibility).
     patch_size: Tuple[int, ...] = ()

@@ -91,8 +91,9 @@ class Volume:
         return np.asarray(self.store.read().result())
 
 
-def open_zarr(path: str, *, component: Optional[str] = None) -> Volume:
-    """Open an existing zarr v2 array for reading (local or remote).
+def open_zarr(path: str, *, component: Optional[str] = None,
+              writable: bool = False) -> Volume:
+    """Open an existing zarr v2 array (local or remote).
 
     ``component`` selects an array inside a group (e.g. multiscale level
     "0"); the reference indexes ``zarr.open(...)[0]`` for HTTP multiscale
@@ -101,12 +102,12 @@ def open_zarr(path: str, *, component: Optional[str] = None) -> Volume:
     full = path if component is None else os.path.join(path, component)
     spec = {"driver": "zarr", "kvstore": _kvstore_spec(full)}
     try:
-        store = ts.open(spec, read=True).result()
+        store = ts.open(spec, open=True, read=True, write=writable).result()
     except Exception:
         if component is None:
             # maybe a group with a "0" multiscale level
             try:
-                return open_zarr(path, component="0")
+                return open_zarr(path, component="0", writable=writable)
             except Exception:
                 raise
         raise

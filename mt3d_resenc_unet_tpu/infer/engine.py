@@ -1,0 +1,392 @@
+"""Sliding-window zarr inference engine.
+
+Parity + redesign of the reference ZarrInferenceHandler
+(reference: inference.py:14-308):
+
+* overlapping patch grid with forced terminal coverage
+  (helpers.py:200-216 semantics);
+* batched jitted eval-mode forward with per-task activations;
+* Gaussian-weighted blending computed ON DEVICE: predictions are multiplied
+  by the importance map inside the compiled step (the reference intended
+  Gaussian maps but shipped uniform count-averaging — SURVEY.md §2.6.6);
+* ``{tgt}_sum`` / ``{tgt}_count`` float32 zarr datasets chunked at patch
+  size with Blosc-zstd-5-bitshuffle and an exists-guard
+  (inference.py:70-113), written via tensorstore;
+* rolling z-slab host accumulation replacing the reference's per-patch
+  zarr read-modify-write (its single worst bottleneck, SURVEY.md §3.2):
+  patches are processed in z-order into a RAM slab and each finished z-range
+  is written to storage exactly once;
+* finalize pass: normals -> renormalize summed vectors to unit length,
+  others -> sum/weight average (inference.py:166-210);
+* quantize pass -> ``{tgt}_final`` uint8 (probabilities) / uint16 (normals,
+  32767.5 codec) with empty-chunk elision (inference.py:212-263);
+* ``postprocess_only`` resumable mode and per-Z JPEG export
+  (inference.py:159-161, 265-289).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import ConfigManager
+from ..data.positions import sliding_window_grid
+from ..data.zio import (
+    DEFAULT_COMPRESSOR,
+    Volume,
+    create_zarr,
+    encode_normals_u16,
+    normalize_to_unit,
+    open_zarr,
+    zarr_exists,
+)
+from ..models.network import ResEncUNet
+from ..train.checkpoint import load_params, merge_params_nonstrict, restore_flexible
+from .gaussian import gaussian_map, uniform_map
+
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
+
+
+def standardize(patch: np.ndarray, eps: float = 1e-10) -> np.ndarray:
+    """Per-patch z-score, non-channelwise — the reference's inference-time
+    normalization (dataloading/inference_dataset.py:25 Standardize)."""
+    mean = patch.mean()
+    std = patch.std()
+    return (patch - mean) / np.maximum(std, eps)
+
+
+class _RollingAccumulator:
+    """Accumulates weighted patches into a RAM slab ordered by z and flushes
+    finished z-rows to the sum/count stores exactly once."""
+
+    def __init__(self, sum_vol: Volume, cnt_vol: Volume, channels: int,
+                 vol_shape: Tuple[int, int, int], patch_z: int):
+        self.sum_vol = sum_vol
+        self.cnt_vol = cnt_vol
+        self.c = channels
+        self.zmax, self.ymax, self.xmax = vol_shape
+        self.patch_z = patch_z
+        self.z0 = 0           # global z of slab row 0
+        self.flushed = 0      # everything < flushed is on disk
+        depth = patch_z * 2
+        self.sum = np.zeros((channels, depth, self.ymax, self.xmax), np.float32)
+        self.cnt = np.zeros((depth, self.ymax, self.xmax), np.float32)
+        self._pending: List[Any] = []
+
+    def _grow_to(self, z_end: int) -> None:
+        need = z_end - self.z0
+        if need > self.sum.shape[1]:
+            extra = need - self.sum.shape[1]
+            self.sum = np.concatenate(
+                [self.sum, np.zeros((self.c, extra, self.ymax, self.xmax),
+                                    np.float32)], axis=1)
+            self.cnt = np.concatenate(
+                [self.cnt, np.zeros((extra, self.ymax, self.xmax),
+                                    np.float32)], axis=0)
+
+    def add(self, z: int, y: int, x: int, weighted_pred: np.ndarray,
+            weight: np.ndarray) -> None:
+        """weighted_pred: (C, pz, py, px) already multiplied by the map;
+        weight: (pz, py, px)."""
+        pz, py, px = weighted_pred.shape[1:]
+        if z > self.flushed:
+            # all patches are fed in nondecreasing z order, so rows < z are
+            # final once we see a patch starting at z
+            self.flush_until(z)
+        self._grow_to(z + pz)
+        lz = z - self.z0
+        self.sum[:, lz:lz + pz, y:y + py, x:x + px] += weighted_pred
+        self.cnt[lz:lz + pz, y:y + py, x:x + px] += weight
+
+    def flush_until(self, z_end: int) -> None:
+        z_end = min(z_end, self.zmax)
+        if z_end <= self.flushed:
+            return
+        a, b = self.flushed - self.z0, z_end - self.z0
+        sum_block = self.sum[:, a:b]
+        cnt_block = self.cnt[a:b]
+        if self.c == 1:
+            self._pending.append(
+                self.sum_vol.write_async(np.s_[self.flushed:z_end],
+                                         sum_block[0]))
+        else:
+            self._pending.append(
+                self.sum_vol.write_async(np.s_[:, self.flushed:z_end],
+                                         sum_block))
+        self._pending.append(
+            self.cnt_vol.write_async(np.s_[self.flushed:z_end], cnt_block))
+        # retire completed writes, keep at most 4 in flight
+        while len(self._pending) > 4:
+            self._pending.pop(0).result()
+        # drop flushed rows
+        self.sum = self.sum[:, b:].copy()
+        self.cnt = self.cnt[b:].copy()
+        self.z0 = z_end
+        self.flushed = z_end
+
+    def finish(self) -> None:
+        self.flush_until(self.zmax)
+        for fut in self._pending:
+            fut.result()
+        self._pending.clear()
+
+
+class ZarrInferenceEngine:
+    """Config-driven inference (entry parity: inference.py:14-29)."""
+
+    def __init__(self, config_file: Optional[str] = None,
+                 write_layers: bool = False, postprocess_only: bool = False,
+                 config_dict: Optional[Dict[str, Any]] = None,
+                 verbose: bool = False):
+        self.mgr = ConfigManager(config_file, config_dict, verbose=verbose)
+        self.write_layers = write_layers
+        self.postprocess_only = postprocess_only
+
+    # ------------------------------------------------------------------
+    def _build_model(self):
+        plan = self.mgr.build_plan()
+        if tuple(self.mgr.infer_patch_size) != tuple(plan.patch_size):
+            plan = type(plan)(**{**plan.__dict__,
+                                 "patch_size": tuple(self.mgr.infer_patch_size)})
+            plan.validate_patch(self.mgr.infer_patch_size)
+        model = ResEncUNet(plan=plan, dtype=_DTYPES.get(
+            self.mgr.compute_dtype, jnp.bfloat16))
+        return plan, model
+
+    def _load_params(self, model, plan):
+        patch = tuple(self.mgr.infer_patch_size)
+        sample = jnp.zeros((1,) + patch + (plan.in_channels,), jnp.float32)
+        fresh = jax.jit(lambda: model.init(
+            {"params": jax.random.key(0)}, sample, train=False))()["params"]
+        ckpt_path = self.mgr.infer_checkpoint_path or self.mgr.checkpoint_path
+        if ckpt_path is None:
+            raise ValueError("inference requires a checkpoint_path")
+        fresh_host = jax.device_get(fresh)
+        template = {"params": fresh_host, "opt_state": None, "step": 0,
+                    "epoch": 0}
+        try:
+            restored = restore_flexible(ckpt_path, template,
+                                        params_only_ok=True)["params"]
+        except Exception:
+            restored = load_params(ckpt_path)
+        if self.mgr.load_strict:
+            return jax.device_put(restored)
+        merged, stats = merge_params_nonstrict(fresh_host, restored)
+        print(f"[infer] non-strict load: {stats}")
+        return jax.device_put(merged)
+
+    # ------------------------------------------------------------------
+    def infer(self) -> str:
+        mgr = self.mgr
+        store_path = os.path.join(mgr.infer_output_path, "predictions.zarr")
+        targets = mgr.infer_output_targets
+
+        if not self.postprocess_only:
+            self._run_model_pass(store_path, targets)
+
+        finalize_overlaps(store_path, targets)
+        quantize_final(store_path, targets)
+        if self.write_layers:
+            export_z_slices(store_path, targets, mgr.infer_output_path)
+        return store_path
+
+    # ------------------------------------------------------------------
+    def _run_model_pass(self, store_path: str, targets: Dict[str, Dict]):
+        mgr = self.mgr
+        plan, model = self._build_model()
+        params = self._load_params(model, plan)
+
+        input_vol = open_zarr(mgr.infer_input_path)
+        in_shape = input_vol.shape[-3:]
+        patch = tuple(mgr.infer_patch_size)
+        batch_size = mgr.infer_batch_size
+
+        input_data = None
+        if mgr.infer_load_all:
+            input_data = input_vol.read_all()
+            if input_data.ndim > 3:
+                input_data = input_data.reshape(input_data.shape[-3:])
+
+        positions = sliding_window_grid(in_shape, patch, mgr.infer_overlap)
+        positions.sort()  # z-major order for the rolling accumulator
+
+        # exists-guard (reference: inference.py:70-74)
+        if os.path.isdir(store_path):
+            raise FileExistsError(
+                f"Zarr store '{store_path}' already exists. "
+                "Aborting to prevent overwrite.")
+
+        # sum/count stores per target (reference: inference.py:76-113)
+        accums: Dict[str, _RollingAccumulator] = {}
+        for name, info in targets.items():
+            c = int(info["channels"])
+            if c == 1:
+                out_shape: Tuple[int, ...] = in_shape
+                chunks: Tuple[int, ...] = patch
+            else:
+                out_shape = (c,) + in_shape
+                chunks = (c,) + patch
+            sum_vol = create_zarr(
+                os.path.join(store_path, f"{name}_sum"), out_shape,
+                np.float32, chunks, compressor=DEFAULT_COMPRESSOR)
+            cnt_vol = create_zarr(
+                os.path.join(store_path, f"{name}_count"), in_shape,
+                np.float32, patch, compressor=DEFAULT_COMPRESSOR)
+            accums[name] = _RollingAccumulator(sum_vol, cnt_vol, c, in_shape,
+                                               patch[0])
+
+        # weighting map; multiplied on device inside the jitted step
+        if mgr.infer_gaussian_blend:
+            wmap = gaussian_map(patch, mgr.infer_gaussian_sigma_scale)
+        else:
+            wmap = uniform_map(patch)
+        wmap_dev = jnp.asarray(wmap)
+
+        @jax.jit
+        def forward(params, batch):
+            outs = model.apply({"params": params}, batch, train=False)
+            weighted = {}
+            for name in targets:
+                o = outs[name].astype(jnp.float32)
+                weighted[name] = o * wmap_dev[None, ..., None]
+            return weighted
+
+        normalization = mgr.infer_normalization
+
+        def read_patch(pos):
+            z, y, x = pos
+            sl = np.s_[z:z + patch[0], y:y + patch[1], x:x + patch[2]]
+            if input_data is not None:
+                raw = input_data[sl]
+            else:
+                raw = input_vol[sl]
+                if raw.ndim > 3:
+                    raw = raw.reshape(raw.shape[-3:])
+            p = normalize_to_unit(raw, input_vol.dtype)
+            if normalization == "standardize":
+                p = standardize(p)
+            return p[..., None]
+
+        n = len(positions)
+        done = 0
+        for b0 in range(0, n, batch_size):
+            batch_pos = positions[b0:b0 + batch_size]
+            arrs = [read_patch(p) for p in batch_pos]
+            while len(arrs) < batch_size:  # pad last batch for stable shape
+                arrs.append(arrs[-1])
+            batch = jnp.asarray(np.stack(arrs))
+            weighted = jax.device_get(forward(params, batch))
+            for i, (z, y, x) in enumerate(batch_pos):
+                for name in targets:
+                    pred = np.moveaxis(weighted[name][i], -1, 0)  # (C,pz,py,px)
+                    accums[name].add(z, y, x, pred, wmap)
+            done += len(batch_pos)
+            if (b0 // batch_size) % 20 == 0:
+                print(f"[infer] {done}/{n} patches")
+
+        for acc in accums.values():
+            acc.finish()
+        print(f"[infer] model pass complete: {n} patches -> {store_path}")
+
+
+# ----------------------------------------------------------------------
+# finalize / quantize / export — also runnable standalone on an existing
+# store (reference: scripts/standalone_inf_average.py:7-138)
+# ----------------------------------------------------------------------
+
+def finalize_overlaps(store_path: str, targets: Dict[str, Dict],
+                      skip_average: bool = False) -> None:
+    """Overlap resolution in place on ``{tgt}_sum``: normals are renormalized
+    to unit vectors (never averaged), everything else becomes sum/weight
+    (reference: inference.py:166-210)."""
+    for name, info in targets.items():
+        c = int(info["channels"])
+        sum_vol = open_zarr(os.path.join(store_path, f"{name}_sum"),
+                            writable=True)
+        cnt_vol = open_zarr(os.path.join(store_path, f"{name}_count"))
+        is_normals = name.lower() == "normals"
+        z, y, x = sum_vol.shape[-3:]
+        cz = sum_vol.chunks[-3]
+
+        for z0 in range(0, z, cz):
+            z1 = min(z0 + cz, z)
+            if c == 1:
+                sblock = sum_vol[z0:z1]
+                sblock = sblock[None]
+            else:
+                sblock = sum_vol[:, z0:z1]
+            cblock = cnt_vol[z0:z1]
+            mask = cblock > 0
+            if is_normals and c == 3:
+                # renormalize to unit length; the divisor must be the true
+                # magnitude (not magnitude+eps as in the reference,
+                # inference.py:196) because Gaussian edge weights make sums
+                # arbitrarily small while their direction stays exact
+                mag = np.maximum(np.sqrt(np.sum(sblock ** 2, axis=0)), 1e-30)
+                for ch in range(3):
+                    sblock[ch][mask] /= mag[mask]
+            elif not skip_average:
+                for ch in range(sblock.shape[0]):
+                    sblock[ch][mask] /= cblock[mask]
+            if c == 1:
+                sum_vol[z0:z1] = sblock[0]
+            else:
+                sum_vol[:, z0:z1] = sblock
+
+
+def quantize_final(store_path: str, targets: Dict[str, Dict]) -> None:
+    """Cast finalized float sums to ``{tgt}_final``: uint16 for normals
+    ([-1,1] -> 32767.5 codec), uint8 otherwise ([0,1] -> 255)
+    (reference: inference.py:212-263; codec unified per SURVEY.md §2.6.8)."""
+    for name, info in targets.items():
+        sum_vol = open_zarr(os.path.join(store_path, f"{name}_sum"))
+        is_normals = name.lower() == "normals"
+        final_dtype = np.uint16 if is_normals else np.uint8
+        final_vol = create_zarr(
+            os.path.join(store_path, f"{name}_final"), sum_vol.shape,
+            final_dtype, sum_vol.chunks, compressor=DEFAULT_COMPRESSOR)
+        z = sum_vol.shape[-3]
+        cz = sum_vol.chunks[-3]
+        for z0 in range(0, z, cz):
+            z1 = min(z0 + cz, z)
+            block = sum_vol[..., z0:z1, :, :]
+            if is_normals:
+                q = encode_normals_u16(block)
+            else:
+                q = np.clip(block * 255.0, 0, 255).astype(np.uint8)
+            final_vol[..., z0:z1, :, :] = q
+
+
+def export_z_slices(store_path: str, targets: Dict[str, Dict],
+                    output_path: str) -> None:
+    """Per-Z JPEG export of ``{tgt}_final`` (reference: inference.py:265-289)."""
+    import cv2
+
+    slices_dir = os.path.join(output_path, "z_slices")
+    os.makedirs(slices_dir, exist_ok=True)
+    for name in targets:
+        tdir = os.path.join(slices_dir, name)
+        os.makedirs(tdir, exist_ok=True)
+        final_vol = open_zarr(os.path.join(store_path, f"{name}_final"))
+        shape = final_vol.shape
+        if len(shape) == 4:
+            for z in range(shape[1]):
+                sl = final_vol[:, z]
+                if sl.dtype == np.uint16:
+                    sl = (sl / 257).astype(np.uint8)
+                if sl.shape[0] == 3:
+                    sl = np.transpose(sl, (1, 2, 0))
+                cv2.imwrite(os.path.join(tdir, f"{z}.jpg"), sl)
+        else:
+            for z in range(shape[0]):
+                sl = final_vol[z].astype(np.uint8)
+                cv2.imwrite(os.path.join(tdir, f"{z}.jpg"), sl)
+
+
+# Back-compat alias matching the reference class name (inference.py:14)
+ZarrInferenceHandler = ZarrInferenceEngine

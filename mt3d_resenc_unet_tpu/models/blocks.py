@@ -93,7 +93,7 @@ class ConvNormAct(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         x = nn.Conv(
             features=self.features,
             kernel_size=self.kernel,
@@ -203,7 +203,7 @@ class BasicBlockD(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         in_features = x.shape[-1]
         residual = _ResidualSkip(
             features=self.features, stride=self.stride,
@@ -216,13 +216,13 @@ class BasicBlockD(nn.Module):
             norm_eps=self.norm_eps, act=True,
             negative_slope=self.negative_slope, dropout_p=self.dropout_p,
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv1",
-        )(x, train=train)
+        )(x, train)
         out = ConvNormAct(
             features=self.features, kernel=self.kernel,
             stride=(1,) * len(self.stride), use_bias=self.conv_bias,
             norm_affine=self.norm_affine, norm_eps=self.norm_eps, act=False,
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv2",
-        )(out, train=train)
+        )(out, train)
         if train and self.stochastic_depth_p > 0.0:
             out = drop_path(out, self.stochastic_depth_p,
                             self.make_rng("droppath"))
@@ -253,7 +253,7 @@ class BottleneckD(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         dim = len(self.stride)
         ones = (1,) * dim
         in_features = x.shape[-1]
@@ -267,19 +267,19 @@ class BottleneckD(nn.Module):
             use_bias=self.conv_bias, norm_affine=self.norm_affine,
             norm_eps=self.norm_eps, act=True,
             negative_slope=self.negative_slope, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="conv1")(x, train=train)
+            param_dtype=self.param_dtype, name="conv1")(x, train)
         out = ConvNormAct(
             features=self.bottleneck_features, kernel=self.kernel,
             stride=self.stride, use_bias=self.conv_bias,
             norm_affine=self.norm_affine, norm_eps=self.norm_eps, act=True,
             negative_slope=self.negative_slope, dropout_p=self.dropout_p,
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv2",
-        )(out, train=train)
+        )(out, train)
         out = ConvNormAct(
             features=self.features, kernel=ones, stride=ones,
             use_bias=self.conv_bias, norm_affine=self.norm_affine,
             norm_eps=self.norm_eps, act=False, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="conv3")(out, train=train)
+            param_dtype=self.param_dtype, name="conv3")(out, train)
         if train and self.stochastic_depth_p > 0.0:
             out = drop_path(out, self.stochastic_depth_p,
                             self.make_rng("droppath"))
@@ -308,12 +308,21 @@ class StackedResidualBlocks(nn.Module):
     squeeze_excitation: bool = False
     se_ratio: float = 1.0 / 16
     stochastic_depth_p: float = 0.0
+    remat: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         ones = (1,) * len(self.initial_stride)
+        # Rematerialization: store only block boundaries for backward and
+        # recompute in-block activations — the TPU trade of HBM for FLOPs
+        # that replaces the reference's reliance on 24GB GPUs
+        # (SURVEY.md §7.3.2; 3D U-Net activations dominate memory).
+        basic_cls = nn.remat(BasicBlockD, static_argnums=(2,)) \
+            if self.remat else BasicBlockD
+        bottleneck_cls = nn.remat(BottleneckD, static_argnums=(2,)) \
+            if self.remat else BottleneckD
         common = dict(
             features=self.features, kernel=self.kernel,
             conv_bias=self.conv_bias, norm_affine=self.norm_affine,
@@ -326,12 +335,12 @@ class StackedResidualBlocks(nn.Module):
         for i in range(self.n_blocks):
             stride = self.initial_stride if i == 0 else ones
             if self.block_type == "BottleneckBlockD":
-                x = BottleneckD(
+                x = bottleneck_cls(
                     bottleneck_features=self.bottleneck_features or self.features // 4,
-                    stride=stride, name=f"block{i}", **common)(x, train=train)
+                    stride=stride, name=f"block{i}", **common)(x, train)
             else:
-                x = BasicBlockD(stride=stride, name=f"block{i}", **common)(
-                    x, train=train)
+                x = basic_cls(stride=stride, name=f"block{i}", **common)(
+                    x, train)
         return x
 
 
@@ -348,19 +357,22 @@ class StackedConvBlocks(nn.Module):
     norm_eps: float = 1e-5
     negative_slope: float = 1e-2
     dropout_p: float = 0.0
+    remat: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         ones = (1,) * len(self.initial_stride)
+        conv_cls = nn.remat(ConvNormAct, static_argnums=(2,)) \
+            if self.remat else ConvNormAct
         for i in range(self.n_convs):
-            x = ConvNormAct(
+            x = conv_cls(
                 features=self.features, kernel=self.kernel,
                 stride=self.initial_stride if i == 0 else ones,
                 use_bias=self.conv_bias, norm_affine=self.norm_affine,
                 norm_eps=self.norm_eps, act=True,
                 negative_slope=self.negative_slope, dropout_p=self.dropout_p,
                 dtype=self.dtype, param_dtype=self.param_dtype,
-                name=f"conv{i}")(x, train=train)
+                name=f"conv{i}")(x, train)
         return x

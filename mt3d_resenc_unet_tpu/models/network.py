@@ -46,14 +46,14 @@ class Encoder(nn.Module):
         common = dict(
             conv_bias=p.conv_bias, norm_affine=p.norm_affine,
             norm_eps=p.norm_eps, negative_slope=p.nonlin_negative_slope,
-            dropout_p=p.dropout_p, dtype=self.dtype,
+            dropout_p=p.dropout_p, remat=p.remat, dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
         if p.do_stem:
             x = StackedConvBlocks(
                 n_convs=1, features=p.stem_width, kernel=p.kernel_sizes[0],
                 initial_stride=(1,) * p.dim, name="stem", **common,
-            )(x, train=train)
+            )(x, train)
 
         skips: List[jax.Array] = []
         residual_encoder = p.basic_encoder_block in ("BasicBlockD", "BottleneckBlockD")
@@ -74,7 +74,7 @@ class Encoder(nn.Module):
                     se_ratio=p.squeeze_excitation_reduction_ratio,
                     stochastic_depth_p=p.stochastic_depth_p,
                     name=f"stage{s}", **common,
-                )(x, train=train)
+                )(x, train)
             else:
                 x = StackedConvBlocks(
                     n_convs=p.n_blocks_per_stage[s],
@@ -82,7 +82,7 @@ class Encoder(nn.Module):
                     kernel=p.kernel_sizes[s],
                     initial_stride=p.strides[s],
                     name=f"stage{s}", **common,
-                )(x, train=train)
+                )(x, train)
             skips.append(x)
         return skips
 
@@ -105,7 +105,7 @@ class Decoder(nn.Module):
         common = dict(
             conv_bias=p.conv_bias, norm_affine=p.norm_affine,
             norm_eps=p.norm_eps, negative_slope=p.nonlin_negative_slope,
-            dropout_p=p.dropout_p, dtype=self.dtype,
+            dropout_p=p.dropout_p, remat=p.remat, dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
         x = skips[-1]
@@ -130,7 +130,7 @@ class Decoder(nn.Module):
                     kernel=p.kernel_sizes[n - 1 - s],
                     initial_stride=(1,) * p.dim,
                     name=f"stage{s - 1}", **common,
-                )(x, train=train)
+                )(x, train)
             else:
                 x = StackedConvBlocks(
                     n_convs=p.n_conv_per_stage_decoder[s - 1],
@@ -138,7 +138,7 @@ class Decoder(nn.Module):
                     kernel=p.kernel_sizes[n - 1 - s],
                     initial_stride=(1,) * p.dim,
                     name=f"stage{s - 1}", **common,
-                )(x, train=train)
+                )(x, train)
             # seg layers are built for every stage (checkpoint compat);
             # computed only when needed.
             seg = nn.Conv(

@@ -1,0 +1,154 @@
+"""Inference engine tests: grid coverage, Gaussian maps, overlap blending
+exactness (constant input => exact average, SURVEY.md §4), normals
+renormalization, quantization codecs, postprocess-only resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mt3d_resenc_unet_tpu.data.positions import generate_positions, sliding_window_grid
+from mt3d_resenc_unet_tpu.data.zio import (
+    create_zarr,
+    decode_normals,
+    encode_normals_u16,
+    open_zarr,
+)
+from mt3d_resenc_unet_tpu.infer.engine import (
+    _RollingAccumulator,
+    finalize_overlaps,
+    quantize_final,
+    standardize,
+)
+from mt3d_resenc_unet_tpu.infer.gaussian import gaussian_map, uniform_map
+
+
+def test_generate_positions_forced_terminal():
+    # 0..100 with patch 40, step 30 -> 0, 30, 60 (covers to 100)
+    assert generate_positions(0, 100, 40, 30) == [0, 30, 60]
+    # exact fit
+    assert generate_positions(0, 80, 40, 40) == [0, 40]
+    with pytest.raises(ValueError):
+        generate_positions(0, 30, 40, 30)
+
+
+def test_grid_covers_volume():
+    shape = (50, 70, 90)
+    patch = (32, 32, 32)
+    grid = sliding_window_grid(shape, patch, overlap=0.25)
+    covered = np.zeros(shape, bool)
+    for z, y, x in grid:
+        covered[z:z + 32, y:y + 32, x:x + 32] = True
+        assert z + 32 <= shape[0] and y + 32 <= shape[1] and x + 32 <= shape[2]
+    assert covered.all()
+
+
+def test_gaussian_map_properties():
+    g = gaussian_map((16, 16, 16))
+    assert g.shape == (16, 16, 16)
+    assert g.max() == pytest.approx(1.0)
+    assert (g > 0).all()
+    center = g[8, 8, 8]
+    assert center >= g.max() * 0.999
+    assert g[0, 0, 0] < center
+    assert uniform_map((4, 4, 4)).sum() == 64
+
+
+def test_standardize():
+    x = np.random.default_rng(0).random((8, 8, 8)).astype(np.float32)
+    s = standardize(x)
+    assert abs(s.mean()) < 1e-5 and abs(s.std() - 1) < 1e-4
+
+
+def _accumulate(tmp_path, preds_fn, shape=(24, 16, 16), patch=(8, 8, 8),
+                overlap=0.5, channels=1, gaussian=True):
+    c = channels
+    out_shape = shape if c == 1 else (c,) + shape
+    chunks = patch if c == 1 else (c,) + patch
+    sum_vol = create_zarr(str(tmp_path / "t_sum"), out_shape, np.float32, chunks)
+    cnt_vol = create_zarr(str(tmp_path / "t_count"), shape, np.float32, patch)
+    acc = _RollingAccumulator(sum_vol, cnt_vol, c, shape, patch[0])
+    wmap = gaussian_map(patch) if gaussian else uniform_map(patch)
+    for z, y, x in sorted(sliding_window_grid(shape, patch, overlap)):
+        pred = preds_fn(z, y, x)  # (C, pz, py, px)
+        acc.add(z, y, x, pred * wmap[None], wmap)
+    acc.finish()
+    return sum_vol, cnt_vol
+
+
+def test_constant_prediction_exact_average(tmp_path):
+    """Weighted blending of a constant predictor must reproduce the constant
+    everywhere, regardless of overlap structure."""
+    sum_vol, cnt_vol = _accumulate(
+        tmp_path, lambda z, y, x: np.full((1, 8, 8, 8), 0.7, np.float32))
+    targets = {"t": {"channels": 1}}
+    finalize_overlaps(str(tmp_path), targets)
+    final = open_zarr(str(tmp_path / "t_sum")).read_all()
+    np.testing.assert_allclose(final, 0.7, atol=1e-5)
+    cnt = cnt_vol.read_all()
+    assert (cnt > 0).all()
+
+
+def test_position_dependent_average_uniform(tmp_path):
+    """With uniform weights, blending must equal the reference's
+    count-average (inference.py:166-210)."""
+    shape, patch = (16, 8, 8), (8, 8, 8)
+
+    def pred(z, y, x):
+        return np.full((1,) + patch, float(z), np.float32)
+
+    sum_vol, cnt_vol = _accumulate(tmp_path, pred, shape=shape, patch=patch,
+                                   overlap=0.5, gaussian=False)
+    finalize_overlaps(str(tmp_path), {"t": {"channels": 1}})
+    final = open_zarr(str(tmp_path / "t_sum")).read_all()
+    # positions: z = 0, 4, 8; voxel z=5 covered by patches@0? no (0..7 yes)
+    # voxel (5, 0, 0): patches starting z=0 (covers 0-7), z=4 (4-11) -> avg(0,4)=2
+    assert final[5, 0, 0] == pytest.approx((0 + 4) / 2)
+    # voxel (3,0,0): only patch z=0 -> 0
+    assert final[3, 0, 0] == pytest.approx(0.0)
+    # voxel (15,0,0): patch z=8 only -> 8
+    assert final[15, 0, 0] == pytest.approx(8.0)
+
+
+def test_normals_renormalized_not_averaged(tmp_path):
+    def pred(z, y, x):
+        v = np.zeros((3, 8, 8, 8), np.float32)
+        v[0] = 3.0  # non-unit x-pointing vectors
+        return v
+
+    sum_vol, _ = _accumulate(tmp_path, pred, channels=3)
+    os.rename(tmp_path / "t_sum", tmp_path / "normals_sum")
+    os.rename(tmp_path / "t_count", tmp_path / "normals_count")
+    finalize_overlaps(str(tmp_path), {"normals": {"channels": 3}})
+    final = open_zarr(str(tmp_path / "normals_sum")).read_all()
+    mag = np.sqrt((final ** 2).sum(axis=0))
+    np.testing.assert_allclose(mag, 1.0, atol=1e-4)
+    assert (final[0] > 0.999).all()
+
+
+def test_quantize_codecs(tmp_path):
+    # scalar target in [0,1] -> uint8
+    s = create_zarr(str(tmp_path / "a_sum"), (8, 8, 8), np.float32, (8, 8, 8))
+    s[...] = 0.5
+    quantize_final(str(tmp_path), {"a": {"channels": 1}})
+    fin = open_zarr(str(tmp_path / "a_final"))
+    assert fin.dtype == np.uint8
+    assert np.all(fin.read_all() == 127)
+    # normals -> uint16 roundtrip through the unified 32767.5 codec
+    n = create_zarr(str(tmp_path / "normals_sum"), (3, 4, 4, 4), np.float32,
+                    (3, 4, 4, 4))
+    vecs = np.zeros((3, 4, 4, 4), np.float32)
+    vecs[0], vecs[1], vecs[2] = 0.6, -0.8, 0.0
+    n[...] = vecs
+    quantize_final(str(tmp_path), {"normals": {"channels": 3}})
+    fin = open_zarr(str(tmp_path / "normals_final"))
+    assert fin.dtype == np.uint16
+    decoded = decode_normals(fin.read_all(), np.dtype(np.uint16))
+    np.testing.assert_allclose(decoded, vecs, atol=1e-4)
+
+
+def test_normals_codec_roundtrip_exactness():
+    rng = np.random.default_rng(0)
+    v = rng.uniform(-1, 1, (3, 5, 5, 5)).astype(np.float32)
+    dec = decode_normals(encode_normals_u16(v), np.dtype(np.uint16))
+    np.testing.assert_allclose(dec, v, atol=1.0 / 32767.5)
