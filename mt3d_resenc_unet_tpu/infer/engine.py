@@ -46,7 +46,7 @@ from ..data.zio import (
     zarr_exists,
 )
 from ..models.network import ResEncUNet
-from ..train.checkpoint import load_params, merge_params_nonstrict, restore_flexible
+from ..train.checkpoint import load_params_any, merge_params_nonstrict
 from .gaussian import gaussian_map, uniform_map
 
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
@@ -167,15 +167,14 @@ class ZarrInferenceEngine:
         if ckpt_path is None:
             raise ValueError("inference requires a checkpoint_path")
         fresh_host = jax.device_get(fresh)
-        template = {"params": fresh_host, "opt_state": None, "step": 0,
-                    "epoch": 0}
-        try:
-            restored = restore_flexible(ckpt_path, template,
-                                        params_only_ok=True)["params"]
-        except Exception:
-            restored = load_params(ckpt_path)
+        restored = load_params_any(ckpt_path)
         if self.mgr.load_strict:
-            return jax.device_put(restored)
+            merged, stats = merge_params_nonstrict(fresh_host, restored)
+            if stats["kept_fresh"] or stats["shape_mismatch"]:
+                raise ValueError(
+                    f"strict load failed: {stats} (set load_strict: false "
+                    f"for partial/multi-task reuse)")
+            return jax.device_put(merged)
         merged, stats = merge_params_nonstrict(fresh_host, restored)
         print(f"[infer] non-strict load: {stats}")
         return jax.device_put(merged)

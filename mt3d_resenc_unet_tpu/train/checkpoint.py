@@ -86,6 +86,29 @@ def restore_flexible(path, template: Dict[str, Any],
         return out
 
 
+def load_params_any(path) -> Any:
+    """Extract a params tree from any checkpoint layout we produce:
+    a CheckpointManager root (numbered epoch dirs, full training state), a
+    single manager step dir, or a StandardCheckpointer params dump. Restores
+    without a template (raw arrays) and picks out ``params`` when present."""
+    path = Path(path).absolute()
+    steps = []
+    if path.is_dir():
+        steps = [int(p.name) for p in path.iterdir()
+                 if p.is_dir() and p.name.isdigit()]
+    if steps:
+        mgr = ocp.CheckpointManager(path)
+        try:
+            raw = mgr.restore(max(steps))
+        finally:
+            mgr.close()
+    else:
+        raw = ocp.StandardCheckpointer().restore(path)
+    if isinstance(raw, dict) and "params" in raw:
+        return raw["params"]
+    return raw
+
+
 def save_params(path, params) -> None:
     """Standalone final-weights dump (reference: train.py:339)."""
     path = Path(path).absolute()

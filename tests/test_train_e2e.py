@@ -17,9 +17,10 @@ def _make_config(tmp_path, max_epoch=2, ckpt_path=None, load_weights_only=False)
     lbl_path = str(vol_dir / "lbl.zarr")
     if not os.path.isdir(img_path):
         rng = np.random.default_rng(0)
-        lbl = np.zeros((32, 32, 32), np.uint8)
-        lbl[4:28, 4:28, 4:28] = (rng.random((24, 24, 24)) > 0.35).astype(np.uint8)
-        img = (lbl * 180 + rng.integers(0, 60, lbl.shape)).astype(np.uint8)
+        mask = np.zeros((32, 32, 32), np.uint8)
+        mask[4:28, 4:28, 4:28] = (rng.random((24, 24, 24)) > 0.35).astype(np.uint8)
+        img = (mask * 180 + rng.integers(0, 60, mask.shape)).astype(np.uint8)
+        lbl = mask * np.uint8(255)  # 0/255 mask convention (scaled /255)
         create_zarr(img_path, img.shape, img.dtype, (16, 16, 16))[...] = img
         create_zarr(lbl_path, lbl.shape, lbl.dtype, (16, 16, 16))[...] = lbl
 
