@@ -22,6 +22,7 @@ def main():
     p.add_argument("--patch", type=int, default=64)
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--variant", default="base")
+    p.add_argument("--no_remat", action="store_true")
     p.add_argument("--fwd_only", action="store_true")
     args = p.parse_args()
 
@@ -47,6 +48,14 @@ def main():
         blocks._instance_norm_act_impl = _impl
 
     import bench
+    if args.no_remat:
+        import mt3d_resenc_unet_tpu.core.plan as planmod
+        orig = planmod.plan_from_autoconfig
+        def patched(*a, **k):
+            k.setdefault('remat', False)
+            return orig(*a, **k)
+        planmod.plan_from_autoconfig = patched
+        bench.__dict__  # bench imports plan_from_autoconfig lazily inside build
     patch = (args.patch,) * 3
     if args.fwd_only:
         from mt3d_resenc_unet_tpu.core.plan import TaskHead, plan_from_autoconfig
@@ -58,11 +67,11 @@ def main():
         params = jax.jit(lambda: model.init({"params": jax.random.key(0)}, x,
                                             train=False))()
         f = jax.jit(lambda p, x: model.apply(p, x, train=False))
-        out = f(params, x); jax.block_until_ready(out)
+        out = f(params, x); float(out['sheet'].sum())
         t0 = time.perf_counter()
         for _ in range(6):
             out = f(params, x)
-            jax.block_until_ready(out)
+            float(out['sheet'].sum())  # D2H fetch: forces real execution
         dt = (time.perf_counter() - t0) / 6
         print(f"variant={args.variant} fwd patch={args.patch} batch={args.batch}: "
               f"{dt*1000:.1f} ms/step = {args.batch/dt:.2f} patches/s")

@@ -68,17 +68,45 @@ def build_optimizer(
     return optax.chain(optax.clip_by_global_norm(grad_clip_norm), opt)
 
 
+def _downsample_target(t: jax.Array, factor: Tuple[int, ...]) -> jax.Array:
+    """Strided subsampling of a dense target for deep supervision."""
+    idx = (slice(None),) + tuple(slice(None, None, f) for f in factor) \
+        + (slice(None),)
+    return t[idx]
+
+
 def multitask_loss(
-    outputs: Mapping[str, jax.Array],
+    outputs: Mapping[str, Any],
     targets: Mapping[str, jax.Array],
     loss_fns: Mapping[str, Loss],
     task_weights: Mapping[str, float],
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Weighted sum of per-task losses (reference: train.py:208-218)."""
+    """Weighted sum of per-task losses (reference: train.py:208-218).
+
+    When a decoder returns a deep-supervision list (highest resolution
+    first), losses are combined with nnU-Net-style halving weights
+    (1, 1/2, 1/4, ...) normalized to sum 1 — the reference builds
+    DS-capable decoders but never trains with them (decoder.py:97-100,
+    build_network_from_config.py:274); here the capability is usable.
+    """
     total = jnp.zeros((), jnp.float32)
     per_task: Dict[str, jax.Array] = {}
     for name, fn in loss_fns.items():
-        l = fn(outputs[name], targets[name]) * task_weights.get(name, 1.0)
+        out = outputs[name]
+        tgt = targets[name]
+        if isinstance(out, (list, tuple)):
+            ws = [0.5 ** i for i in range(len(out))]
+            ws = [w / sum(ws) for w in ws]
+            l = jnp.zeros((), jnp.float32)
+            for w, o in zip(ws, out):
+                spatial = o.shape[1:-1]
+                factor = tuple(t // s for t, s in zip(tgt.shape[1:-1], spatial))
+                t_ds = _downsample_target(tgt, factor) \
+                    if any(f != 1 for f in factor) else tgt
+                l = l + w * fn(o, t_ds)
+        else:
+            l = fn(out, tgt)
+        l = l * task_weights.get(name, 1.0)
         per_task[name] = l
         total = total + l
     return total, per_task
