@@ -271,26 +271,56 @@ class ZarrInferenceEngine:
                 p = standardize(p)
             return p[..., None]
 
+        # host pipeline: a thread pool reads/normalizes the NEXT batch while
+        # the device runs the current one (the reference used DataLoader
+        # workers with prefetch_factor=8, inference.py:55-63)
+        from concurrent.futures import ThreadPoolExecutor
+
         n = len(positions)
-        done = 0
-        for b0 in range(0, n, batch_size):
-            batch_pos = positions[b0:b0 + batch_size]
+        n_batches = (n + batch_size - 1) // batch_size
+
+        def make_batch(b):
+            batch_pos = positions[b * batch_size:(b + 1) * batch_size]
             arrs = [read_patch(p) for p in batch_pos]
             while len(arrs) < batch_size:  # pad last batch for stable shape
                 arrs.append(arrs[-1])
-            batch = jnp.asarray(np.stack(arrs))
-            weighted = jax.device_get(forward(params, batch))
-            for i, (z, y, x) in enumerate(batch_pos):
-                for name in targets:
-                    pred = np.moveaxis(weighted[name][i], -1, 0)  # (C,pz,py,px)
-                    accums[name].add(z, y, x, pred, wmap)
-            done += len(batch_pos)
-            if (b0 // batch_size) % 20 == 0:
-                print(f"[infer] {done}/{n} patches")
+            return batch_pos, np.stack(arrs)
+
+        done = 0
+        with ThreadPoolExecutor(
+                max_workers=max(1, mgr.infer_num_dataloader_workers)) as pool:
+            window = 3
+            futs = {b: pool.submit(make_batch, b)
+                    for b in range(min(window, n_batches))}
+            pending_dev = None  # (batch_pos, device result) in flight
+            for b in range(n_batches):
+                batch_pos, host_batch = futs.pop(b).result()
+                nxt = b + window
+                if nxt < n_batches:
+                    futs[nxt] = pool.submit(make_batch, nxt)
+                dev_out = forward(params, jnp.asarray(host_batch))
+                if pending_dev is not None:
+                    self._drain(pending_dev, targets, accums, wmap)
+                    done += len(pending_dev[0])
+                pending_dev = (batch_pos, dev_out)
+                if b % 20 == 0:
+                    print(f"[infer] {done}/{n} patches")
+            if pending_dev is not None:
+                self._drain(pending_dev, targets, accums, wmap)
+                done += len(pending_dev[0])
 
         for acc in accums.values():
             acc.finish()
         print(f"[infer] model pass complete: {n} patches -> {store_path}")
+
+    @staticmethod
+    def _drain(pending, targets, accums, wmap):
+        batch_pos, dev_out = pending
+        weighted = jax.device_get(dev_out)
+        for i, (z, y, x) in enumerate(batch_pos):
+            for name in targets:
+                pred = np.moveaxis(weighted[name][i], -1, 0)  # (C,pz,py,px)
+                accums[name].add(z, y, x, pred, wmap)
 
 
 # ----------------------------------------------------------------------

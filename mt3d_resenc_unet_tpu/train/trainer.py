@@ -189,9 +189,17 @@ class Trainer:
             batches = batch_iterator(
                 dataset, epoch_indices, step_samples,
                 num_threads=mgr.train_num_dataloader_workers)
+            profile_dir = self.mgr.tr_info.get("profile_dir")
             for batch in device_prefetch(batches, mesh, mgr.dp_axis):
+                # optional xprof capture of steps 3-6 of the first epoch
+                # (tracing/profiling is absent in the reference, SURVEY.md §5.1)
+                if profile_dir and epoch == start_epoch and steps == 3:
+                    jax.profiler.start_trace(profile_dir)
                 state, metrics = train_step(state, batch)
                 steps += 1
+                if profile_dir and epoch == start_epoch and steps == 6:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
                 for t in mgr.tasks:
                     running[t] += float(metrics[t])
                 if steps >= opt_steps_per_epoch:

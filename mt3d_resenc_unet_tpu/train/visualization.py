@@ -103,6 +103,21 @@ def save_debug_gif(
     return save_path
 
 
+def log_3d_slices_as_images(writer, tag: str, volume: np.ndarray, step: int,
+                            max_slices: int = 8,
+                            is_normals: bool = False) -> None:
+    """Log evenly spaced Z slices of a (D, H, W, C) volume as TensorBoard
+    images (reference: plotting.py:115-170)."""
+    if writer is None or getattr(writer, "_tb", None) is None:
+        return
+    vol = _squeeze_batch(volume)
+    depth = vol.shape[0]
+    zs = np.linspace(0, depth - 1, min(max_slices, depth)).astype(int)
+    for i, z in enumerate(zs):
+        rgb = slice_to_rgb(vol[z], is_normals)
+        writer._tb.add_image(f"{tag}/z{i}", rgb, step, dataformats="HWC")
+
+
 def export_data_dict_as_tif(dataset, num_batches: int, out_dir: str) -> None:
     """Dump the first N dataset samples as multipage TIFFs — the
     ``--debug_dataloader`` path (reference: train.py:137-144,
