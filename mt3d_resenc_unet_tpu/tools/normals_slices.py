@@ -25,8 +25,10 @@ def write_normals_slices(zarr_path: str, output_dir: str,
         if use_16bit:
             if sl.dtype != np.uint16:
                 sl = np.clip(sl, 0, 65535).astype(np.uint16)
-            imageio.imwrite(os.path.join(output_dir,
-                                         f"normals_z{z:04d}.png"), sl)
+            # PIL cannot encode 16-bit RGB PNGs; cv2 can (BGR order)
+            import cv2
+            cv2.imwrite(os.path.join(output_dir, f"normals_z{z:04d}.png"),
+                        sl[..., ::-1])
         else:
             if sl.dtype == np.uint16:
                 sl = (sl // 257).astype(np.uint8)
