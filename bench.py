@@ -38,7 +38,8 @@ def build(batch, patch, accum=1):
         patch, in_channels=1,
         tasks=[TaskHead("sheet", 1, "sigmoid"),
                TaskHead("normals", 3, "none")],
-        model_name="bench")
+        model_name="bench",
+        use_pallas_conv=True)
     model = ResEncUNet(plan=plan, dtype=jnp.bfloat16)
     x = jnp.zeros((1,) + patch + (1,), jnp.float32)
     params = jax.jit(lambda: model.init(

@@ -28,8 +28,54 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.instance_norm import _instance_norm_act_impl
+from ..ops.pallas_conv import conv3d_small_c, is_supported as _pallas_conv_ok
 
 Dtype = jnp.dtype
+
+
+class Conv(nn.Module):
+    """Drop-in conv that dispatches stride-1 3x3x3 small-C cases to the
+    banded Pallas kernel (ops/pallas_conv.py) and everything else to XLA.
+    Parameter naming/shape matches flax ``nn.Conv`` (kernel: (*k, I, O)) so
+    checkpoints are interchangeable."""
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    padding: Sequence[Tuple[int, int]]
+    use_bias: bool = False
+    use_pallas: bool = False
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kshape = tuple(self.kernel_size) + (x.shape[-1], self.features)
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            kshape, self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), self.param_dtype)
+                if self.use_bias else None)
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        fast = (
+            self.use_pallas
+            and all(s == 1 for s in self.strides)
+            and all(p == (1, 1) for p in self.padding)
+            and _pallas_conv_ok(x.shape, kshape)
+        )
+        if fast:
+            y = conv3d_small_c(x, k)
+        else:
+            nd = len(self.kernel_size)
+            spec = ("NDHWC", "DHWIO", "NDHWC") if nd == 3 else \
+                ("NHWC", "HWIO", "NHWC")
+            y = jax.lax.conv_general_dilated(
+                x, k, tuple(self.strides), tuple(self.padding),
+                dimension_numbers=spec, preferred_element_type=self.dtype)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 def _pad_same(kernel: Sequence[int]) -> Tuple[Tuple[int, int], ...]:
@@ -89,18 +135,19 @@ class ConvNormAct(nn.Module):
     act: bool = True
     negative_slope: float = 1e-2
     dropout_p: float = 0.0
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
+        x = Conv(
             features=self.features,
             kernel_size=self.kernel,
             strides=self.stride,
             padding=_pad_same(self.kernel),
             use_bias=self.use_bias,
-            kernel_init=nn.initializers.he_normal(),
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",
@@ -164,6 +211,7 @@ class _ResidualSkip(nn.Module):
     in_features: int
     norm_affine: bool = False
     norm_eps: float = 1e-5
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -199,6 +247,7 @@ class BasicBlockD(nn.Module):
     squeeze_excitation: bool = False
     se_ratio: float = 1.0 / 16
     stochastic_depth_p: float = 0.0
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -215,12 +264,14 @@ class BasicBlockD(nn.Module):
             use_bias=self.conv_bias, norm_affine=self.norm_affine,
             norm_eps=self.norm_eps, act=True,
             negative_slope=self.negative_slope, dropout_p=self.dropout_p,
+            use_pallas=self.use_pallas,
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv1",
         )(x, train)
         out = ConvNormAct(
             features=self.features, kernel=self.kernel,
             stride=(1,) * len(self.stride), use_bias=self.conv_bias,
             norm_affine=self.norm_affine, norm_eps=self.norm_eps, act=False,
+            use_pallas=self.use_pallas,
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv2",
         )(out, train)
         if train and self.stochastic_depth_p > 0.0:
@@ -249,6 +300,7 @@ class BottleneckD(nn.Module):
     squeeze_excitation: bool = False
     se_ratio: float = 1.0 / 16
     stochastic_depth_p: float = 0.0
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -266,19 +318,22 @@ class BottleneckD(nn.Module):
             features=self.bottleneck_features, kernel=ones, stride=ones,
             use_bias=self.conv_bias, norm_affine=self.norm_affine,
             norm_eps=self.norm_eps, act=True,
-            negative_slope=self.negative_slope, dtype=self.dtype,
+            negative_slope=self.negative_slope, use_pallas=self.use_pallas,
+            dtype=self.dtype,
             param_dtype=self.param_dtype, name="conv1")(x, train)
         out = ConvNormAct(
             features=self.bottleneck_features, kernel=self.kernel,
             stride=self.stride, use_bias=self.conv_bias,
             norm_affine=self.norm_affine, norm_eps=self.norm_eps, act=True,
             negative_slope=self.negative_slope, dropout_p=self.dropout_p,
+            use_pallas=self.use_pallas,
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv2",
         )(out, train)
         out = ConvNormAct(
             features=self.features, kernel=ones, stride=ones,
             use_bias=self.conv_bias, norm_affine=self.norm_affine,
-            norm_eps=self.norm_eps, act=False, dtype=self.dtype,
+            norm_eps=self.norm_eps, act=False, use_pallas=self.use_pallas,
+            dtype=self.dtype,
             param_dtype=self.param_dtype, name="conv3")(out, train)
         if train and self.stochastic_depth_p > 0.0:
             out = drop_path(out, self.stochastic_depth_p,
@@ -309,6 +364,7 @@ class StackedResidualBlocks(nn.Module):
     se_ratio: float = 1.0 / 16
     stochastic_depth_p: float = 0.0
     remat: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -329,7 +385,8 @@ class StackedResidualBlocks(nn.Module):
             norm_eps=self.norm_eps, negative_slope=self.negative_slope,
             dropout_p=self.dropout_p,
             squeeze_excitation=self.squeeze_excitation, se_ratio=self.se_ratio,
-            stochastic_depth_p=self.stochastic_depth_p, dtype=self.dtype,
+            stochastic_depth_p=self.stochastic_depth_p,
+            use_pallas=self.use_pallas, dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
         for i in range(self.n_blocks):
@@ -358,6 +415,7 @@ class StackedConvBlocks(nn.Module):
     negative_slope: float = 1e-2
     dropout_p: float = 0.0
     remat: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -373,6 +431,7 @@ class StackedConvBlocks(nn.Module):
                 use_bias=self.conv_bias, norm_affine=self.norm_affine,
                 norm_eps=self.norm_eps, act=True,
                 negative_slope=self.negative_slope, dropout_p=self.dropout_p,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"conv{i}")(x, train)
         return x

@@ -46,7 +46,8 @@ class Encoder(nn.Module):
         common = dict(
             conv_bias=p.conv_bias, norm_affine=p.norm_affine,
             norm_eps=p.norm_eps, negative_slope=p.nonlin_negative_slope,
-            dropout_p=p.dropout_p, remat=p.remat, dtype=self.dtype,
+            dropout_p=p.dropout_p, remat=p.remat,
+            use_pallas=p.use_pallas_conv, dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
         if p.do_stem:
@@ -105,7 +106,8 @@ class Decoder(nn.Module):
         common = dict(
             conv_bias=p.conv_bias, norm_affine=p.norm_affine,
             norm_eps=p.norm_eps, negative_slope=p.nonlin_negative_slope,
-            dropout_p=p.dropout_p, remat=p.remat, dtype=self.dtype,
+            dropout_p=p.dropout_p, remat=p.remat,
+            use_pallas=p.use_pallas_conv, dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
         x = skips[-1]

@@ -1,0 +1,232 @@
+"""Pallas TPU kernel: 3D convolution for SMALL channel counts.
+
+Why this exists: XLA's 3D convs are MXU-bound by the output-channel
+dimension — measured on v5e: C=32 runs at ~16 TFLOP/s (8% of peak), C=64 at
+~63, C=128 at ~160. A 3D U-Net burns most of its FLOPs in the
+full-resolution stages with C=32/64 (SURVEY.md §7.3), so those stages run at
+<10% of the machine.
+
+The trick (output x-packing with banded weights): pack G = 128 // C
+consecutive x-positions into the GEMM output columns so every MXU pass
+produces 128 useful lanes. With y[x] = sum_t W[t] x[x + t - 1], a packed
+output group (base x = G*g, offsets s in [0, G)) decomposes into
+
+  mid   : inputs of the same group  -> B_mid[(xofs, ci), (s, co)]
+          = W[dz, dy, xofs - s + 1, ci, co]  when 0 <= xofs - s + 1 < 3
+  left  : last position of group g-1 -> feeds only s = 0 with tap 0
+  right : first position of group g+1 -> feeds only s = G-1 with tap 2
+
+so the kernel runs, per (dz, dy) of the 3x3 (depth, height) taps, one dense
+(M, G*C) x (G*C, G*C) GEMM plus two skinny side GEMMs — no lane-axis
+concatenation of differently-offset windows (which the Mosaic compiler on
+this platform rejects).
+
+Kernel structure: grid over (N, D/bd, H/bh) output tiles; each instance DMAs
+a halo'd input tile from the pre-padded packed input in HBM into VMEM
+(BlockSpec windows cannot overlap, so halos use the manual-DMA stencil
+pattern), then accumulates 27 MXU contractions in fp32.
+
+Scope: stride 1, kernel (3,3,3), same padding, NDHWC, C_in == C_out in
+{16, 32, 64}, no bias (the architecture's convs are bias-free by default,
+reference: build_network_from_config.py:176). ``conv3d_small_c`` wires a
+custom VJP: dx reuses this kernel with spatially-flipped transposed weights;
+dW uses XLA's standard reverse conv (its contraction is the huge spatial
+extent — efficient without packing).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def is_supported(x_shape, w_shape) -> bool:
+    if len(x_shape) != 5 or len(w_shape) != 5:
+        return False
+    kd, kh, kw, ci, co = w_shape
+    if (kd, kh, kw) != (3, 3, 3) or co not in (16, 32, 64):
+        return False
+    if ci % 8 or ci > 128:
+        return False
+    g = 128 // co
+    # side contributions use 128-lane-aligned slices of the packed input
+    if (g * ci) % 128 != 0:
+        return False
+    n, d, h, w, c = x_shape
+    return w % g == 0 and w // g >= 2 and d >= 2 and h >= 2
+
+
+def build_banded_weights(w: jax.Array, g: int):
+    """(3,3,3,C,C) -> (B_mid (3,3,g*C,g*C), B_left (3,3,C,g*C),
+    B_right (3,3,C,g*C)). XLA ops only, so gradients can flow."""
+    kd, kh, kw, ci, co = w.shape
+    gc = g * co
+    zeros = jnp.zeros_like(w[:, :, 0])                 # (3,3,ci,co)
+
+    mid_cols = []
+    for s in range(g):
+        taps = []
+        for xofs in range(g):
+            t = xofs - s + 1
+            taps.append(w[:, :, t] if 0 <= t < kw else zeros)
+        mid_cols.append(jnp.stack(taps, axis=2))       # (3,3,g,ci,co)
+    b_mid = jnp.stack(mid_cols, axis=4)                # (3,3,g,ci,g,co)
+    b_mid = b_mid.reshape(kd, kh, g * ci, gc)
+
+    # Side operands are consumed through 128-lane-aligned slices of the
+    # packed input (Mosaic requires lane alignment once total lanes exceed
+    # one tile), so they are zero-extended to 128 contraction rows:
+    #   left : the LAST 128 input lanes; only the final ci rows (the last
+    #          packed x-position) carry tap t=0 into output offset s=0
+    #   right: the FIRST 128 input lanes; only the first ci rows carry
+    #          tap t=2 into output offset s=g-1
+    left_cols = [w[:, :, 0] if s == 0 else zeros for s in range(g)]
+    b_left = jnp.stack(left_cols, axis=3).reshape(kd, kh, ci, gc)
+    b_left = jnp.pad(b_left, ((0, 0), (0, 0), (128 - ci, 0), (0, 0)))
+    right_cols = [w[:, :, 2] if s == g - 1 else zeros for s in range(g)]
+    b_right = jnp.stack(right_cols, axis=3).reshape(kd, kh, ci, gc)
+    b_right = jnp.pad(b_right, ((0, 0), (0, 0), (0, 128 - ci), (0, 0)))
+    return b_mid, b_left, b_right
+
+
+def _pick_tile(d: int, h: int, wga: int, gc: int, itemsize: int,
+               budget_bytes: int = 4 << 20) -> Tuple[int, int]:
+    """(bd, bh) dividing (d, h) with the halo'd input tile under budget."""
+    row_bytes = wga * gc * itemsize
+
+    def fits(bd, bh):
+        return (bd + 2) * (bh + 2) * row_bytes <= budget_bytes
+
+    best = (1, 1)
+    for bd in [x for x in (16, 12, 8, 6, 4, 2, 1) if d % x == 0]:
+        for bh in [x for x in (16, 12, 8, 6, 4, 2, 1) if h % x == 0]:
+            if fits(bd, bh) and bd * bh > best[0] * best[1]:
+                best = (bd, bh)
+    return best
+
+
+def _conv_kernel(x_hbm, bm_ref, bl_ref, br_ref, y_ref, x_s, sem, *,
+                 g: int, ci: int, co: int, bd: int, bh: int):
+    ni = pl.program_id(0)
+    di = pl.program_id(1)
+    hi = pl.program_id(2)
+    gci = g * ci
+    gco = g * co
+    wg = y_ref.shape[3]
+    m = bd * bh * wg
+    dn = (((1,), (0,)), ((), ()))
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[ni, pl.ds(di * bd, bd + 2), pl.ds(hi * bh, bh + 2)],
+        x_s, sem)
+    dma.start()
+    dma.wait()
+
+    acc = jnp.zeros((m, gco), jnp.float32)
+    for dz in range(3):
+        for dy in range(3):
+            rows = x_s[dz:dz + bd, dy:dy + bh]       # (bd, bh, wga, g*ci)
+            mid = rows[:, :, 1:wg + 1, :].reshape(m, gci)
+            acc += lax.dot_general(mid, bm_ref[dz, dy], dn,
+                                   preferred_element_type=jnp.float32)
+            left = rows[:, :, 0:wg, gci - 128:gci].reshape(m, 128)
+            acc += lax.dot_general(left, bl_ref[dz, dy], dn,
+                                   preferred_element_type=jnp.float32)
+            right = rows[:, :, 2:wg + 2, 0:128].reshape(m, 128)
+            acc += lax.dot_general(right, br_ref[dz, dy], dn,
+                                   preferred_element_type=jnp.float32)
+    y_ref[0] = acc.reshape(bd, bh, wg, gco).astype(y_ref.dtype)
+
+
+def _conv3d_banded_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
+    n, d, h, w_dim, ci = x.shape
+    co = w.shape[-1]
+    g = 128 // co
+    gci = g * ci
+    gco = g * co
+    wg = w_dim // g
+    # second-minor dim of DMA'd tiles must be tiling-aligned
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    wga = ((wg + 2 + sub - 1) // sub) * sub
+    bd, bh = _pick_tile(d, h, wga, max(gci, gco), x.dtype.itemsize)
+
+    # halo-pad (1 in D/H, one packed group in W), pack W into lanes, and pad
+    # the packed-W axis to the aligned tile width
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (g, g), (0, 0)))
+    xp = xp.reshape(n, d + 2, h + 2, wg + 2, gci)
+    if wga > wg + 2:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, wga - (wg + 2)), (0, 0)))
+
+    b_mid, b_left, b_right = build_banded_weights(w.astype(x.dtype), g)
+
+    kernel = functools.partial(_conv_kernel, g=g, ci=ci, co=co, bd=bd, bh=bh)
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda ni, di, hi: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        kernel,
+        grid=(n, d // bd, h // bh),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # packed input (HBM)
+            const_spec((3, 3, gci, gco)),
+            const_spec((3, 3, 128, gco)),
+            const_spec((3, 3, 128, gco)),
+        ],
+        out_specs=pl.BlockSpec((1, bd, bh, wg, gco),
+                               lambda ni, di, hi: (ni, di, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, d, h, wg, gco), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bd + 2, bh + 2, wga, gci), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xp, b_mid, b_left, b_right)
+    return y.reshape(n, d, h, w_dim, co)
+
+
+def _ref_conv(x, w):
+    return lax.conv_general_dilated(
+        x, w, (1, 1, 1), ((1, 1), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x.dtype)
+
+
+@jax.custom_vjp
+def conv3d_small_c(x: jax.Array, w: jax.Array) -> jax.Array:
+    """3x3x3 stride-1 same-pad conv, NDHWC, for C in {16, 32, 64}."""
+    return _conv3d_banded_fwd(x, w)
+
+
+def _fwd(x, w):
+    return conv3d_small_c(x, w), (x, w)
+
+
+def _bwd(res, gy):
+    x, w = res
+    gy = gy.astype(x.dtype)
+    # dx = conv(gy, flip(W)^T): usually the same banded shape class; falls
+    # back to XLA when the transposed channel count is not kernel-supported
+    w_flip = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    if is_supported(gy.shape, w_flip.shape):
+        dx = _conv3d_banded_fwd(gy, w_flip)
+    else:
+        dx = _ref_conv(gy, w_flip)
+    # dW via XLA's reverse-mode conv
+    _, vjp_w = jax.vjp(lambda ww: _ref_conv(x, ww), w)
+    (dw,) = vjp_w(gy)
+    return dx, dw
+
+
+conv3d_small_c.defvjp(_fwd, _bwd)
+
+
+def conv3d_auto(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Dispatch: banded Pallas kernel when supported, XLA otherwise."""
+    if is_supported(x.shape, w.shape):
+        return conv3d_small_c(x, w)
+    return _ref_conv(x, w)
