@@ -47,6 +47,7 @@ from ..data.zio import (
 )
 from ..models.network import ResEncUNet
 from ..train.checkpoint import load_params_any, merge_params_nonstrict
+from ..utils import native
 from .gaussian import gaussian_map, uniform_map
 
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
@@ -100,8 +101,10 @@ class _RollingAccumulator:
             self.flush_until(z)
         self._grow_to(z + pz)
         lz = z - self.z0
-        self.sum[:, lz:lz + pz, y:y + py, x:x + px] += weighted_pred
-        self.cnt[lz:lz + pz, y:y + py, x:x + px] += weight
+        # multithreaded native scatter-add (utils/native.py; numpy fallback)
+        native.accumulate_patch(self.sum, self.cnt,
+                                np.ascontiguousarray(weighted_pred),
+                                weight, lz, y, x)
 
     def flush_until(self, z_end: int) -> None:
         z_end = min(z_end, self.zmax)
@@ -350,18 +353,14 @@ def finalize_overlaps(store_path: str, targets: Dict[str, Dict],
             else:
                 sblock = sum_vol[:, z0:z1]
             cblock = cnt_vol[z0:z1]
-            mask = cblock > 0
             if is_normals and c == 3:
-                # renormalize to unit length; the divisor must be the true
+                # renormalize to unit length; the divisor is the true
                 # magnitude (not magnitude+eps as in the reference,
                 # inference.py:196) because Gaussian edge weights make sums
                 # arbitrarily small while their direction stays exact
-                mag = np.maximum(np.sqrt(np.sum(sblock ** 2, axis=0)), 1e-30)
-                for ch in range(3):
-                    sblock[ch][mask] /= mag[mask]
+                native.renormalize_vectors(sblock, cblock)
             elif not skip_average:
-                for ch in range(sblock.shape[0]):
-                    sblock[ch][mask] /= cblock[mask]
+                native.finalize_average(sblock, cblock)
             if c == 1:
                 sum_vol[z0:z1] = sblock[0]
             else:
@@ -383,11 +382,11 @@ def quantize_final(store_path: str, targets: Dict[str, Dict]) -> None:
         cz = sum_vol.chunks[-3]
         for z0 in range(0, z, cz):
             z1 = min(z0 + cz, z)
-            block = sum_vol[..., z0:z1, :, :]
+            block = np.ascontiguousarray(sum_vol[..., z0:z1, :, :])
             if is_normals:
-                q = encode_normals_u16(block)
+                q = native.encode_normals_u16(block)
             else:
-                q = np.clip(block * 255.0, 0, 255).astype(np.uint8)
+                q = native.quantize_u8(block)
             final_vol[..., z0:z1, :, :] = q
 
 
