@@ -32,6 +32,58 @@ from .blocks import (
 Dtype = jnp.dtype
 
 
+class UpsampleConv(nn.Module):
+    """Transposed conv with kernel == stride (the only form this
+    architecture uses — reference: decoder.py:76-79), computed as ONE
+    pointwise GEMM + depth-to-space instead of ``lax.conv_transpose``.
+
+    With kernel==stride every output voxel receives exactly one input
+    contribution, so y[.., k*i+di, ..] = x[.., i, ..] @ W[di, ..]: a GEMM
+    with N = prod(k) * C_out output columns (full MXU lanes even for small
+    C_out; XLA's transposed conv runs at <10% MXU here). Parameter layout
+    matches flax ``nn.ConvTranspose`` (kernel: (*k, in, out)) for checkpoint
+    compatibility."""
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    use_bias: bool = False
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = tuple(self.kernel_size)
+        ci = x.shape[-1]
+        co = self.features
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            k + (ci, co), self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros, (co,),
+                           self.param_dtype) if self.use_bias else None)
+        x = x.astype(self.dtype)
+        nd = len(k)
+        # flax ConvTranspose applies the kernel spatially flipped:
+        # y[k*i + di] = x[i] @ W[k-1-di] (verified against nn.ConvTranspose)
+        wflip = jnp.flip(kernel.astype(self.dtype), axis=tuple(range(nd)))
+        # (k..., ci, co) -> (ci, prod(k)*co)
+        w2 = jnp.moveaxis(wflip, nd, 0)
+        w2 = w2.reshape(ci, -1)
+        y = jnp.dot(x, w2, preferred_element_type=self.dtype)
+        # (N, *s, prod(k)*co) -> (N, *(s_i, k_i)..., co) -> upsampled
+        n = x.shape[0]
+        spatial = x.shape[1:-1]
+        y = y.reshape((n,) + spatial + k + (co,))
+        # interleave: (N, s0, s1, s2, k0, k1, k2, co) -> (N, s0,k0, s1,k1, ...)
+        perm = [0]
+        for i in range(nd):
+            perm += [1 + i, 1 + nd + i]
+        perm += [1 + 2 * nd]
+        y = y.transpose(perm)
+        y = y.reshape((n,) + tuple(s * kk for s, kk in zip(spatial, k)) + (co,))
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class Encoder(nn.Module):
     """Shared trunk: optional 1-conv stem + N stages of residual/conv stacks,
     returning all per-stage skips (reference: builders/encoder.py:27-158)."""
@@ -116,13 +168,12 @@ class Decoder(nn.Module):
             skip_features = p.features_per_stage[n - 1 - s]
             stride = p.strides[n - s]
             # upsample: transposed conv with kernel == stride == encoder
-            # stride at that level (reference: decoder.py:76-79)
-            x = nn.ConvTranspose(
-                features=skip_features, kernel_size=stride, strides=stride,
-                padding="VALID", use_bias=p.conv_bias,
-                kernel_init=nn.initializers.he_normal(),
-                dtype=self.dtype, param_dtype=self.param_dtype,
-                name=f"up{s - 1}",
+            # stride at that level (reference: decoder.py:76-79), computed
+            # as a pointwise GEMM + depth-to-space
+            x = UpsampleConv(
+                features=skip_features, kernel_size=stride,
+                use_bias=p.conv_bias, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=f"up{s - 1}",
             )(x)
             x = jnp.concatenate([x, skips[n - 1 - s]], axis=-1)
             if p.basic_decoder_block == "ResidualBlock":

@@ -79,24 +79,28 @@ def build_banded_weights(w: jax.Array, g: int):
     b_mid = jnp.stack(mid_cols, axis=4)                # (3,3,g,ci,g,co)
     b_mid = b_mid.reshape(kd, kh, g * ci, gc)
 
-    # Side operands are consumed through 128-lane-aligned slices of the
-    # packed input (Mosaic requires lane alignment once total lanes exceed
-    # one tile), so they are zero-extended to 128 contraction rows:
-    #   left : the LAST 128 input lanes; only the final ci rows (the last
-    #          packed x-position) carry tap t=0 into output offset s=0
-    #   right: the FIRST 128 input lanes; only the first ci rows carry
-    #          tap t=2 into output offset s=g-1
+    # Side contributions:
+    #   left : the last packed x-position of group g-1 carries tap t=0 into
+    #          output offset s=0
+    #   right: the first packed x-position of group g+1 carries tap t=2 into
+    #          output offset s=g-1
+    # When the packed input spans multiple 128-lane tiles (g*ci > 128),
+    # Mosaic requires 128-aligned lane slices, so the side operands are
+    # zero-extended to 128 contraction rows; within a single tile the narrow
+    # ci-row form is used (4x fewer side FLOPs).
+    narrow = (g * ci) <= 128
     left_cols = [w[:, :, 0] if s == 0 else zeros for s in range(g)]
     b_left = jnp.stack(left_cols, axis=3).reshape(kd, kh, ci, gc)
-    b_left = jnp.pad(b_left, ((0, 0), (0, 0), (128 - ci, 0), (0, 0)))
     right_cols = [w[:, :, 2] if s == g - 1 else zeros for s in range(g)]
     b_right = jnp.stack(right_cols, axis=3).reshape(kd, kh, ci, gc)
-    b_right = jnp.pad(b_right, ((0, 0), (0, 0), (0, 128 - ci), (0, 0)))
+    if not narrow:
+        b_left = jnp.pad(b_left, ((0, 0), (0, 0), (128 - ci, 0), (0, 0)))
+        b_right = jnp.pad(b_right, ((0, 0), (0, 0), (0, 128 - ci), (0, 0)))
     return b_mid, b_left, b_right
 
 
 def _pick_tile(d: int, h: int, wga: int, gc: int, itemsize: int,
-               budget_bytes: int = 4 << 20) -> Tuple[int, int]:
+               budget_bytes: int = (5 << 20) // 2) -> Tuple[int, int]:
     """(bd, bh) dividing (d, h) with the halo'd input tile under budget."""
     row_bytes = wga * gc * itemsize
 
@@ -111,37 +115,75 @@ def _pick_tile(d: int, h: int, wga: int, gc: int, itemsize: int,
     return best
 
 
-def _conv_kernel(x_hbm, bm_ref, bl_ref, br_ref, y_ref, x_s, sem, *,
+def _conv_kernel(x_hbm, bm_ref, bl_ref, br_ref, y_ref, x_s0, x_s1, sem, *,
                  g: int, ci: int, co: int, bd: int, bh: int):
+    """Double-buffered: the halo tile for grid step k+1 streams in while
+    step k computes. The two buffers are distinct scratch refs selected with
+    static ``pl.when`` branches — a dynamic leading-index slice of one
+    buffer defeats Mosaic's address optimization (measured 3x slower)."""
     ni = pl.program_id(0)
     di = pl.program_id(1)
     hi = pl.program_id(2)
+    nd = pl.num_programs(1)
+    nh = pl.num_programs(2)
     gci = g * ci
     gco = g * co
     wg = y_ref.shape[3]
     m = bd * bh * wg
     dn = (((1,), (0,)), ((), ()))
+    side_k = ci if gci <= 128 else 128
 
-    dma = pltpu.make_async_copy(
-        x_hbm.at[ni, pl.ds(di * bd, bd + 2), pl.ds(hi * bh, bh + 2)],
-        x_s, sem)
-    dma.start()
-    dma.wait()
+    def tile_dma(buf, sl, a, b, c):
+        return pltpu.make_async_copy(
+            x_hbm.at[a, pl.ds(b * bd, bd + 2), pl.ds(c * bh, bh + 2)],
+            buf, sem.at[sl])
 
-    acc = jnp.zeros((m, gco), jnp.float32)
-    for dz in range(3):
-        for dy in range(3):
-            rows = x_s[dz:dz + bd, dy:dy + bh]       # (bd, bh, wga, g*ci)
-            mid = rows[:, :, 1:wg + 1, :].reshape(m, gci)
-            acc += lax.dot_general(mid, bm_ref[dz, dy], dn,
-                                   preferred_element_type=jnp.float32)
-            left = rows[:, :, 0:wg, gci - 128:gci].reshape(m, 128)
-            acc += lax.dot_general(left, bl_ref[dz, dy], dn,
-                                   preferred_element_type=jnp.float32)
-            right = rows[:, :, 2:wg + 2, 0:128].reshape(m, 128)
-            acc += lax.dot_general(right, br_ref[dz, dy], dn,
-                                   preferred_element_type=jnp.float32)
-    y_ref[0] = acc.reshape(bd, bh, wg, gco).astype(y_ref.dtype)
+    k = (ni * nd + di) * nh + hi
+    total = pl.num_programs(0) * nd * nh
+
+    @pl.when(k == 0)
+    def _():
+        tile_dma(x_s0, 0, ni, di, hi).start()
+
+    nk = k + 1
+    n_ni = nk // (nd * nh)
+    rem = nk % (nd * nh)
+    n_di = rem // nh
+    n_hi = rem % nh
+
+    @pl.when((nk < total) & (nk % 2 == 0))
+    def _():
+        tile_dma(x_s0, 0, n_ni, n_di, n_hi).start()
+
+    @pl.when((nk < total) & (nk % 2 == 1))
+    def _():
+        tile_dma(x_s1, 1, n_ni, n_di, n_hi).start()
+
+    def compute(x_s):
+        acc = jnp.zeros((m, gco), jnp.float32)
+        for dz in range(3):
+            for dy in range(3):
+                rows = x_s[dz:dz + bd, dy:dy + bh]   # (bd, bh, wga, g*ci)
+                mid = rows[:, :, 1:wg + 1, :].reshape(m, gci)
+                acc += lax.dot_general(mid, bm_ref[dz, dy], dn,
+                                       preferred_element_type=jnp.float32)
+                left = rows[:, :, 0:wg, gci - side_k:gci].reshape(m, side_k)
+                acc += lax.dot_general(left, bl_ref[dz, dy], dn,
+                                       preferred_element_type=jnp.float32)
+                right = rows[:, :, 2:wg + 2, 0:side_k].reshape(m, side_k)
+                acc += lax.dot_general(right, br_ref[dz, dy], dn,
+                                       preferred_element_type=jnp.float32)
+        y_ref[0] = acc.reshape(bd, bh, wg, gco).astype(y_ref.dtype)
+
+    @pl.when(k % 2 == 0)
+    def _():
+        tile_dma(x_s0, 0, ni, di, hi).wait()
+        compute(x_s0)
+
+    @pl.when(k % 2 == 1)
+    def _():
+        tile_dma(x_s1, 1, ni, di, hi).wait()
+        compute(x_s1)
 
 
 def _conv3d_banded_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
@@ -174,8 +216,8 @@ def _conv3d_banded_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # packed input (HBM)
             const_spec((3, 3, gci, gco)),
-            const_spec((3, 3, 128, gco)),
-            const_spec((3, 3, 128, gco)),
+            const_spec(b_left.shape),
+            const_spec(b_right.shape),
         ],
         out_specs=pl.BlockSpec((1, bd, bh, wg, gco),
                                lambda ni, di, hi: (ni, di, hi, 0, 0),
@@ -183,7 +225,8 @@ def _conv3d_banded_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((n, d, h, wg, gco), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((bd + 2, bh + 2, wga, gci), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((bd + 2, bh + 2, wga, gci), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(xp, b_mid, b_left, b_right)
     return y.reshape(n, d, h, w_dim, co)
