@@ -27,8 +27,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.instance_norm import _instance_norm_act_impl
-from ..ops.pallas_conv import conv3d_small_c, is_supported as _pallas_conv_ok
+from ..ops.instance_norm import (_instance_norm_act_impl,
+                                 instance_norm_act_packed,
+                                 instance_norm_act_packed_io)
+from ..ops.pallas_conv import (conv3d_packed, conv3d_small_c,
+                               is_supported as _pallas_conv_ok)
 
 Dtype = jnp.dtype
 
@@ -45,11 +48,25 @@ class Conv(nn.Module):
     padding: Sequence[Tuple[int, int]]
     use_bias: bool = False
     use_pallas: bool = False
+    packed_g: int = 0     # >0: x is packed (N,D,H,W/g,g*ci); returns packed
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if self.packed_g:
+            g = self.packed_g
+            ci = x.shape[-1] // g
+            kshape = tuple(self.kernel_size) + (ci, self.features)
+            kernel = self.param("kernel", nn.initializers.he_normal(),
+                                kshape, self.param_dtype)
+            y = conv3d_packed(x.astype(self.dtype),
+                              kernel.astype(self.dtype), g)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,), self.param_dtype)
+                y = y + jnp.tile(bias.astype(self.dtype), g)
+            return y
         kshape = tuple(self.kernel_size) + (x.shape[-1], self.features)
         kernel = self.param("kernel", nn.initializers.he_normal(),
                             kshape, self.param_dtype)
@@ -106,19 +123,27 @@ class InstanceNorm(nn.Module):
     eps: float = 1e-5
     negative_slope: float = 1e-2
     act: bool = False
+    packed_g: int = 0
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
         scale = bias = None
         if self.affine:
-            c = x.shape[-1]
+            c = (x.shape[-1] // self.packed_g) if self.packed_g else x.shape[-1]
             scale = self.param(
                 "scale", nn.initializers.ones, (c,), self.param_dtype)
             bias = self.param(
                 "bias", nn.initializers.zeros, (c,), self.param_dtype)
-        return _instance_norm_act_impl(
-            x, scale, bias, self.eps, self.negative_slope, self.act)
+        # packed-view implementation: avoids lane padding for small C and
+        # can fuse a pre-activation residual add (ops/instance_norm.py)
+        if self.packed_g:
+            return instance_norm_act_packed_io(
+                x, self.packed_g, scale, bias, self.eps,
+                self.negative_slope, self.act, residual=residual)
+        return instance_norm_act_packed(
+            x, scale, bias, self.eps, self.negative_slope, self.act,
+            residual=residual)
 
 
 class ConvNormAct(nn.Module):
@@ -136,11 +161,12 @@ class ConvNormAct(nn.Module):
     negative_slope: float = 1e-2
     dropout_p: float = 0.0
     use_pallas: bool = False
+    packed_g: int = 0
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, residual=None):
         x = Conv(
             features=self.features,
             kernel_size=self.kernel,
@@ -148,6 +174,7 @@ class ConvNormAct(nn.Module):
             padding=_pad_same(self.kernel),
             use_bias=self.use_bias,
             use_pallas=self.use_pallas,
+            packed_g=self.packed_g,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",
@@ -159,9 +186,13 @@ class ConvNormAct(nn.Module):
             x = InstanceNorm(
                 affine=self.norm_affine, eps=self.norm_eps,
                 negative_slope=self.negative_slope, act=self.act,
-                param_dtype=self.param_dtype, name="norm")(x)
-        elif self.act:
-            x = nn.leaky_relu(x, negative_slope=self.negative_slope)
+                packed_g=self.packed_g,
+                param_dtype=self.param_dtype, name="norm")(x, residual)
+        else:
+            if residual is not None:
+                x = x + residual
+            if self.act:
+                x = nn.leaky_relu(x, negative_slope=self.negative_slope)
         return x
 
 
@@ -248,11 +279,25 @@ class BasicBlockD(nn.Module):
     se_ratio: float = 1.0 / 16
     stochastic_depth_p: float = 0.0
     use_pallas: bool = False
+    packed_g: int = 0     # >0: packed io; caller guarantees stride 1, ci==co
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.packed_g:
+            # identity skip; conv -> norm+act -> conv -> norm+add+act, all
+            # on the packed layout (no lane padding, no boundary relayouts)
+            pk = dict(features=self.features, kernel=self.kernel,
+                      stride=(1,) * len(self.stride),
+                      use_bias=self.conv_bias,
+                      norm_affine=self.norm_affine, norm_eps=self.norm_eps,
+                      negative_slope=self.negative_slope,
+                      use_pallas=True, packed_g=self.packed_g,
+                      dtype=self.dtype, param_dtype=self.param_dtype)
+            out = ConvNormAct(act=True, dropout_p=self.dropout_p,
+                              name="conv1", **pk)(x, train)
+            return ConvNormAct(act=True, name="conv2", **pk)(out, train, x)
         in_features = x.shape[-1]
         residual = _ResidualSkip(
             features=self.features, stride=self.stride,
@@ -267,13 +312,21 @@ class BasicBlockD(nn.Module):
             use_pallas=self.use_pallas,
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv1",
         )(x, train)
-        out = ConvNormAct(
+        fuse_tail = not (self.squeeze_excitation
+                         or (train and self.stochastic_depth_p > 0.0))
+        conv2 = ConvNormAct(
             features=self.features, kernel=self.kernel,
             stride=(1,) * len(self.stride), use_bias=self.conv_bias,
-            norm_affine=self.norm_affine, norm_eps=self.norm_eps, act=False,
+            norm_affine=self.norm_affine, norm_eps=self.norm_eps,
+            act=fuse_tail,  # post-add LeakyReLU fused into the norm pass
+            negative_slope=self.negative_slope,
             use_pallas=self.use_pallas,
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv2",
-        )(out, train)
+        )
+        if fuse_tail:
+            # norm -> (+residual) -> LeakyReLU in one packed pass
+            return conv2(out, train, residual)
+        out = conv2(out, train)
         if train and self.stochastic_depth_p > 0.0:
             out = drop_path(out, self.stochastic_depth_p,
                             self.make_rng("droppath"))
@@ -389,7 +442,29 @@ class StackedResidualBlocks(nn.Module):
             use_pallas=self.use_pallas, dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
+        # packed fast path: run the stride-1 identity-skip suffix of the
+        # stack on the x-packed layout (conv + norm + adds all avoid XLA's
+        # lane padding; remat then saves UNPADDED block boundaries)
+        packed_from = None
+        if (self.use_pallas and self.block_type != "BottleneckBlockD"
+                and not self.squeeze_excitation
+                and self.stochastic_depth_p == 0.0
+                and tuple(self.kernel) == (3, 3, 3)):
+            first_ok = (all(st == 1 for st in self.initial_stride)
+                        and x.shape[-1] == self.features)
+            packed_from = 0 if first_ok else 1
+
         for i in range(self.n_blocks):
+            if packed_from is not None and i == packed_from:
+                kshape = (3, 3, 3, self.features, self.features)
+                if _pallas_conv_ok(x.shape, kshape):
+                    g = 128 // self.features
+                    n, d, h, w, c = x.shape
+                    xp = x.reshape(n, d, h, w // g, g * c)
+                    for j in range(i, self.n_blocks):
+                        xp = basic_cls(stride=ones, packed_g=g,
+                                       name=f"block{j}", **common)(xp, train)
+                    return xp.reshape(n, d, h, w, c)
             stride = self.initial_stride if i == 0 else ones
             if self.block_type == "BottleneckBlockD":
                 x = bottleneck_cls(

@@ -40,6 +40,74 @@ def instance_norm_act(
     return _instance_norm_act_impl(x, scale, bias, eps, negative_slope, act)
 
 
+def pack_group(c: int, w: int) -> Optional[int]:
+    """x-packing factor g so that g*C fills 128 lanes; None when the shape
+    cannot pack. Tensors whose minor dim is a small C are stored lane-padded
+    4x/2x by XLA; viewing them as (..., W/g, g*C) makes every elementwise and
+    reduction pass move only real bytes."""
+    if c in (16, 32, 64) and c < 128:
+        g = 128 // c
+        if w % g == 0 and w // g >= 1:
+            return g
+    return None
+
+
+def instance_norm_act_packed_io(xp, g: int, scale, bias, eps,
+                                negative_slope, act, residual=None):
+    """Instance norm (+ LeakyReLU, + optional pre-activation residual add)
+    on an ALREADY-PACKED (N, D, H, W/g, g*C) tensor, returning packed.
+
+    The packed minor dim is 128-wide, so the stats reduction and the
+    normalize/add/act passes avoid XLA's 4x lane padding. Statistics fold
+    the g packed x-positions back per channel."""
+    n, d, h, wg, gc = xp.shape
+    c = gc // g
+    xf = xp.astype(jnp.float32)
+    s = jnp.sum(xf, axis=(1, 2, 3))                  # (N, g*C)
+    ss = jnp.sum(jnp.square(xf), axis=(1, 2, 3))
+    count = d * h * wg * g
+    mean = s.reshape(n, g, c).sum(axis=1) / count    # (N, C)
+    ex2 = ss.reshape(n, g, c).sum(axis=1) / count
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        inv = inv * scale.astype(jnp.float32)
+    shift = mean * inv
+    if bias is not None:
+        shift = shift - bias.astype(jnp.float32)
+    # tile per-channel scalars across the g packed positions
+    inv_t = jnp.tile(inv, (1, g)).astype(xp.dtype)[:, None, None, None, :]
+    shift_t = jnp.tile(shift, (1, g)).astype(xp.dtype)[:, None, None, None, :]
+    y = xp * inv_t - shift_t
+    if residual is not None:
+        y = y + residual.reshape(xp.shape)
+    if act:
+        y = jnp.where(y >= 0, y, y * negative_slope)
+    return y
+
+
+def instance_norm_act_packed(x, scale, bias, eps, negative_slope, act,
+                             residual=None, g: Optional[int] = None):
+    """Same as :func:`instance_norm_act_packed_io` for an unpacked
+    (N, D, H, W, C) tensor (packs/unpacks at the edges; adjacent reshapes
+    cancel in XLA when producer/consumer also use the packed view)."""
+    n, d, h, w, c = x.shape
+    if g is None:
+        g = pack_group(c, w)
+    if g is None or g == 1:
+        y = _instance_norm_act_impl(x, scale, bias, eps, negative_slope,
+                                    False)
+        if residual is not None:
+            y = y + residual
+        if act:
+            y = jnp.where(y >= 0, y, y * negative_slope)
+        return y
+    xp = x.reshape(n, d, h, w // g, g * c)
+    y = instance_norm_act_packed_io(xp, g, scale, bias, eps, negative_slope,
+                                    act, residual=residual)
+    return y.reshape(x.shape)
+
+
 def _instance_norm_act_impl(x, scale, bias, eps, negative_slope, act):
     spatial_axes = tuple(range(1, x.ndim - 1))
     # statistics in fp32 (XLA fuses the bf16->f32 convert into the

@@ -186,31 +186,28 @@ def _conv_kernel(x_hbm, bm_ref, bl_ref, br_ref, y_ref, x_s0, x_s1, sem, *,
         compute(x_s1)
 
 
-def _conv3d_banded_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
-    n, d, h, w_dim, ci = x.shape
+def _conv3d_banded_packed(xp: jax.Array, w: jax.Array, g: int) -> jax.Array:
+    """Packed-in/packed-out banded conv: xp (N, D, H, W/g, g*ci) ->
+    (N, D, H, W/g, g*co). Keeping tensors packed between ops avoids XLA's
+    lane padding on small-C activations entirely."""
+    n, d, h, wg, gci = xp.shape
+    ci = gci // g
     co = w.shape[-1]
-    g = 128 // co
-    gci = g * ci
     gco = g * co
-    wg = w_dim // g
     # second-minor dim of DMA'd tiles must be tiling-aligned
-    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    sub = 16 if xp.dtype == jnp.bfloat16 else 8
     wga = ((wg + 2 + sub - 1) // sub) * sub
-    bd, bh = _pick_tile(d, h, wga, max(gci, gco), x.dtype.itemsize)
+    bd, bh = _pick_tile(d, h, wga, max(gci, gco), xp.dtype.itemsize)
 
-    # halo-pad (1 in D/H, one packed group in W), pack W into lanes, and pad
-    # the packed-W axis to the aligned tile width
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (g, g), (0, 0)))
-    xp = xp.reshape(n, d + 2, h + 2, wg + 2, gci)
-    if wga > wg + 2:
-        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, wga - (wg + 2)), (0, 0)))
+    # halo-pad: 1 in D/H, one packed group in W, alignment tail
+    xpp = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (1, wga - (wg + 1)), (0, 0)))
 
-    b_mid, b_left, b_right = build_banded_weights(w.astype(x.dtype), g)
+    b_mid, b_left, b_right = build_banded_weights(w.astype(xp.dtype), g)
 
     kernel = functools.partial(_conv_kernel, g=g, ci=ci, co=co, bd=bd, bh=bh)
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda ni, di, hi: (0, 0, 0, 0), memory_space=pltpu.VMEM)
-    y = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n, d // bd, h // bh),
         in_specs=[
@@ -222,14 +219,50 @@ def _conv3d_banded_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
         out_specs=pl.BlockSpec((1, bd, bh, wg, gco),
                                lambda ni, di, hi: (ni, di, hi, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, d, h, wg, gco), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, d, h, wg, gco), xp.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bd + 2, bh + 2, wga, gci), x.dtype),
-            pltpu.VMEM((bd + 2, bh + 2, wga, gci), x.dtype),
+            pltpu.VMEM((bd + 2, bh + 2, wga, gci), xp.dtype),
+            pltpu.VMEM((bd + 2, bh + 2, wga, gci), xp.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(xp, b_mid, b_left, b_right)
-    return y.reshape(n, d, h, w_dim, co)
+    )(xpp, b_mid, b_left, b_right)
+
+
+def _conv3d_banded_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
+    n, d, h, w_dim, ci = x.shape
+    co = w.shape[-1]
+    g = 128 // co
+    xp = x.reshape(n, d, h, w_dim // g, g * ci)
+    yp = _conv3d_banded_packed(xp, w, g)
+    return yp.reshape(n, d, h, w_dim, co)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3d_packed(xp: jax.Array, w: jax.Array, g: int) -> jax.Array:
+    """Packed-io conv for ci == co (so dx shares the packing factor)."""
+    return _conv3d_banded_packed(xp, w, g)
+
+
+def _fwd_packed(xp, w, g):
+    return conv3d_packed(xp, w, g), (xp, w)
+
+
+def _bwd_packed(g, res, gyp):
+    xp, w = res
+    gyp = gyp.astype(xp.dtype)
+    w_flip = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    dxp = _conv3d_banded_packed(gyp, w_flip, g)
+    # dW via XLA reverse conv on the unpacked views
+    n, d, h, wg, gci = xp.shape
+    ci = gci // g
+    x = xp.reshape(n, d, h, wg * g, ci)
+    gy = gyp.reshape(n, d, h, wg * g, w.shape[-1])
+    _, vjp_w = jax.vjp(lambda ww: _ref_conv(x, ww), w)
+    (dw,) = vjp_w(gy)
+    return dxp, dw
+
+
+conv3d_packed.defvjp(_fwd_packed, _bwd_packed)
 
 
 def _ref_conv(x, w):
