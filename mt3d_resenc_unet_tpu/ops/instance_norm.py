@@ -89,8 +89,17 @@ def instance_norm_act_packed_io(xp, g: int, scale, bias, eps,
 def instance_norm_act_packed(x, scale, bias, eps, negative_slope, act,
                              residual=None, g: Optional[int] = None):
     """Same as :func:`instance_norm_act_packed_io` for an unpacked
-    (N, D, H, W, C) tensor (packs/unpacks at the edges; adjacent reshapes
-    cancel in XLA when producer/consumer also use the packed view)."""
+    (N, *spatial, C) tensor (packs/unpacks at the edges; adjacent reshapes
+    cancel in XLA when producer/consumer also use the packed view). 2-D
+    inputs use the plain implementation."""
+    if x.ndim != 5:
+        y = _instance_norm_act_impl(x, scale, bias, eps, negative_slope,
+                                    False)
+        if residual is not None:
+            y = y + residual
+        if act:
+            y = jnp.where(y >= 0, y, y * negative_slope)
+        return y
     n, d, h, w, c = x.shape
     if g is None:
         g = pack_group(c, w)
