@@ -88,6 +88,10 @@ class ConfigManager:
         self.mesh_shape = c.get("mesh_shape", None)  # None -> all devices on dp
         self.grad_clip_norm: float = float(c.get("grad_clip_norm", 3.0))
         self.donate_state: bool = bool(c.get("donate_state", True))
+        # banded Pallas conv kernels for small-C stages (ops/pallas_conv.py);
+        # enabled by default on TPU backends, off elsewhere (CPU tests)
+        self.use_pallas_conv: Optional[bool] = c.get("use_pallas_conv", None)
+        self.remat: bool = bool(c.get("remat", True))
 
         # ---- dataset_config -------------------------------------------
         d = self.dataset_config
@@ -185,25 +189,37 @@ class ConfigManager:
         """Derive the static NetworkPlan from this config
         (reference: builders/build_network_from_config.py:39-162)."""
         heads = self.task_heads()
+        use_pallas = self.use_pallas_conv
+        if use_pallas is None:
+            # auto: on for TPU backends, off elsewhere (Mosaic kernels don't
+            # compile for CPU outside interpret mode)
+            try:
+                import jax
+                use_pallas = jax.default_backend() == "tpu"
+            except Exception:
+                use_pallas = False
         if self.autoconfigure:
             overrides = {}
             for key in ("squeeze_excitation", "conv_bias", "stochastic_depth_p", "do_stem"):
                 if key in self.model_config:
                     overrides[key] = self.model_config[key]
-            return plan_from_autoconfig(
+            plan = plan_from_autoconfig(
                 patch_size=self.train_patch_size,
                 in_channels=self.in_channels,
                 tasks=heads,
                 model_name=self.model_config.get("model_name", self.model_name),
                 **overrides,
             )
-        return plan_from_manual_config(
-            self.model_config,
-            patch_size=self.train_patch_size,
-            in_channels=self.in_channels,
-            tasks=heads,
-            model_name=self.model_config.get("model_name", self.model_name),
-        )
+        else:
+            plan = plan_from_manual_config(
+                self.model_config,
+                patch_size=self.train_patch_size,
+                in_channels=self.in_channels,
+                tasks=heads,
+                model_name=self.model_config.get("model_name", self.model_name),
+            )
+        return dataclasses.replace(plan, use_pallas_conv=bool(use_pallas),
+                                   remat=self.remat)
 
     # ------------------------------------------------------------------
     def _print_summary(self):
