@@ -84,13 +84,61 @@ def run_bench(batch, patch, steps, warmup):
     return batch * steps / dt
 
 
+def run_infer_bench(batch, patch, steps, warmup):
+    """Eval-mode forward + on-device Gaussian weighting (the inference hot
+    loop); returns voxels/sec."""
+    from mt3d_resenc_unet_tpu.core.plan import TaskHead, plan_from_autoconfig
+    from mt3d_resenc_unet_tpu.models.network import ResEncUNet
+    from mt3d_resenc_unet_tpu.infer.gaussian import gaussian_map
+
+    plan = plan_from_autoconfig(
+        patch, in_channels=1,
+        tasks=[TaskHead("sheet", 1, "sigmoid"),
+               TaskHead("normals", 3, "none")],
+        model_name="bench", use_pallas_conv=True, remat=False)
+    model = jaxmodel = ResEncUNet(plan=plan, dtype=jnp.bfloat16)
+    x = jnp.zeros((batch,) + patch + (1,), jnp.float32)
+    params = jax.jit(lambda: model.init(
+        {"params": jax.random.key(0)}, x[:1], train=False))()
+    wmap = jnp.asarray(gaussian_map(patch))
+
+    @jax.jit
+    def forward(params, batch):
+        outs = model.apply(params, batch, train=False)
+        return {k: (v.astype(jnp.float32) * wmap[None, ..., None])
+                for k, v in outs.items()}
+
+    for _ in range(warmup):
+        o = forward(params, x)
+        float(o["sheet"].sum())
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        o = forward(params, x)
+        float(o["sheet"].sum())
+    dt = time.perf_counter() - t0
+    voxels = batch * steps * patch[0] * patch[1] * patch[2]
+    return voxels / dt
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--patch", type=int, nargs=3, default=[128, 128, 128])
     p.add_argument("--batch", type=int, default=0, help="0 = auto-select")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--mode", choices=["train", "infer"], default="train")
     args = p.parse_args()
+
+    if args.mode == "infer":
+        b = args.batch or 4
+        v = run_infer_bench(b, tuple(args.patch), args.steps, args.warmup)
+        print(json.dumps({
+            "metric": "infer_voxels_per_sec",
+            "value": round(v, 1),
+            "unit": "voxels/s",
+            "vs_baseline": None,
+        }))
+        return
 
     patch = tuple(args.patch)
     candidates = [args.batch] if args.batch else [8, 4, 2, 1]
