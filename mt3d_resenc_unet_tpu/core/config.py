@@ -218,8 +218,17 @@ class ConfigManager:
                 tasks=heads,
                 model_name=self.model_config.get("model_name", self.model_name),
             )
-        return dataclasses.replace(plan, use_pallas_conv=bool(use_pallas),
+        plan = dataclasses.replace(plan, use_pallas_conv=bool(use_pallas),
                                    remat=self.remat)
+        # The autoconfig planner pads the patch to pooling divisibility
+        # (reference computes final_patch_size but never reconciles the
+        # dataset with it — SURVEY.md §2.6/§7.3.7); keep dataset and model
+        # agreed on the padded size.
+        if plan.patch_size and tuple(plan.patch_size) != self.train_patch_size:
+            print(f"[config] patch_size {self.train_patch_size} padded to "
+                  f"{tuple(plan.patch_size)} for pooling divisibility")
+            self.train_patch_size = tuple(plan.patch_size)
+        return plan
 
     # ------------------------------------------------------------------
     def _print_summary(self):

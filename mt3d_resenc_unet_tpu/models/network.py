@@ -236,7 +236,15 @@ class ResEncUNet(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False) -> Dict[str, jax.Array]:
+    def __call__(self, x, *, train: bool = False,
+                 apply_activations: Optional[bool] = None
+                 ) -> Dict[str, jax.Array]:
+        # default matches the reference: activations only outside training
+        # (build_network_from_config.py:321-323); an explicit override lets
+        # validation compute deterministic LOGITS without enabling the
+        # stochastic train-mode paths
+        if apply_activations is None:
+            apply_activations = not train
         x = x.astype(self.dtype)
         skips = Encoder(plan=self.plan, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="encoder")(
@@ -249,11 +257,11 @@ class ResEncUNet(nn.Module):
             )(skips, train=train)
             if isinstance(logits, list):
                 logits = [l.astype(jnp.float32) for l in logits]
-                if not train:
+                if apply_activations:
                     logits = [_apply_activation(l, task.activation) for l in logits]
             else:
                 logits = logits.astype(jnp.float32)
-                if not train:
+                if apply_activations:
                     logits = _apply_activation(logits, task.activation)
             results[task.name] = logits
         return results

@@ -184,13 +184,16 @@ def make_eval_step(
 ) -> Callable[[Any, Dict[str, jax.Array]], Dict[str, jax.Array]]:
     """Validation: unweighted per-task losses on train-mode logits
     (reference: train.py:268-297 computes val losses without task weights,
-    under model.eval() — but the loss is applied to raw logits because the
-    reference's eval-mode activation happens *inside* forward; we evaluate
-    losses on logits exactly as training does for comparability)."""
+    under model.eval() — the reference therefore computes val losses on
+    ACTIVATED outputs, double-applying sigmoid inside BCE/Dice, a quirk we
+    treat as unintended: validation here runs the deterministic eval path
+    but with activations suppressed, so losses see logits exactly as in
+    training)."""
     loss_fns = dict(loss_fns)
 
     def eval_step(params, batch):
-        outputs = model.apply({"params": params}, batch["image"], train=True)
+        outputs = model.apply({"params": params}, batch["image"],
+                              train=False, apply_activations=False)
         targets = {k: v for k, v in batch.items() if k != "image"}
         metrics = {}
         total = jnp.zeros((), jnp.float32)

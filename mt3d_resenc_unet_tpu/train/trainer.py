@@ -43,7 +43,8 @@ from .step import (
     make_predict_step,
     make_train_step,
 )
-from .visualization import export_data_dict_as_tif, save_debug_gif
+from .visualization import (export_data_dict_as_tif,
+                            log_3d_slices_as_images, save_debug_gif)
 
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
            "float16": jnp.float16}
@@ -288,6 +289,10 @@ class Trainer:
             # debug GIF on the first val batch (reference: train.py:299-320)
             try:
                 preds = predict_step(state.params, first_batch["image"])
+                for t in mgr.tasks:
+                    log_3d_slices_as_images(
+                        writer, f"val/{t}_pred", np.asarray(preds[t]), epoch,
+                        is_normals=t.lower() == "normals")
                 save_debug_gif(
                     input_volume=np.asarray(first_batch["image"]),
                     targets_dict={t: np.asarray(first_batch[t])

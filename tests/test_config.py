@@ -102,3 +102,15 @@ def test_example_task_configs_parse():
         mgr = ConfigManager(f)
         plan = mgr.build_plan()
         plan.validate_patch(plan.patch_size or mgr.train_patch_size)
+
+
+def test_autoconfig_patch_padding_reconciled():
+    """Autoconfig pads the patch to pooling divisibility; dataset patch size
+    must follow (the reference computes final_patch_size but never reconciles
+    — SURVEY.md §2.6)."""
+    cfg = _minimal()
+    cfg["tr_config"]["patch_size"] = [100, 100, 100]
+    mgr = ConfigManager(config_dict=cfg)
+    plan = mgr.build_plan()
+    assert tuple(mgr.train_patch_size) == tuple(plan.patch_size)
+    plan.validate_patch(mgr.train_patch_size)
