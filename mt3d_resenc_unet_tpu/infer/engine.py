@@ -27,8 +27,7 @@ Parity + redesign of the reference ZarrInferenceHandler
 from __future__ import annotations
 
 import os
-from pathlib import Path
-from typing import Any, Dict, Iterator, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,10 +39,8 @@ from ..data.zio import (
     DEFAULT_COMPRESSOR,
     Volume,
     create_zarr,
-    encode_normals_u16,
     normalize_to_unit,
     open_zarr,
-    zarr_exists,
 )
 from ..models.network import ResEncUNet
 from ..train.checkpoint import load_params_any, merge_params_nonstrict
