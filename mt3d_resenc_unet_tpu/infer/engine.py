@@ -332,7 +332,17 @@ def finalize_overlaps(store_path: str, targets: Dict[str, Dict],
                       skip_average: bool = False) -> None:
     """Overlap resolution in place on ``{tgt}_sum``: normals are renormalized
     to unit vectors (never averaged), everything else becomes sum/weight
-    (reference: inference.py:166-210)."""
+    (reference: inference.py:166-210).
+
+    Idempotent: a ``.finalized`` marker in the store makes repeated
+    ``--postprocess_only`` runs skip the (destructive) re-averaging — the
+    reference silently corrupts its sums when postprocess runs twice
+    (dividing an already-averaged volume by the counts again)."""
+    marker = os.path.join(store_path, ".finalized")
+    if os.path.exists(marker):
+        print("[infer] store already finalized; skipping overlap averaging "
+              "(delete .finalized to force)")
+        return
     for name, info in targets.items():
         c = int(info["channels"])
         sum_vol = open_zarr(os.path.join(store_path, f"{name}_sum"),
@@ -362,6 +372,8 @@ def finalize_overlaps(store_path: str, targets: Dict[str, Dict],
                 sum_vol[z0:z1] = sblock[0]
             else:
                 sum_vol[:, z0:z1] = sblock
+    with open(marker, "w") as f:
+        f.write("overlap averaging applied\n")
 
 
 def quantize_final(store_path: str, targets: Dict[str, Dict]) -> None:
@@ -372,9 +384,13 @@ def quantize_final(store_path: str, targets: Dict[str, Dict]) -> None:
         sum_vol = open_zarr(os.path.join(store_path, f"{name}_sum"))
         is_normals = name.lower() == "normals"
         final_dtype = np.uint16 if is_normals else np.uint8
+        # overwrite any previous final dataset: postprocess-only reruns
+        # recompute finals from the persisted sums (reference semantics:
+        # inference.py:159-161, 225-233)
         final_vol = create_zarr(
             os.path.join(store_path, f"{name}_final"), sum_vol.shape,
-            final_dtype, sum_vol.chunks, compressor=DEFAULT_COMPRESSOR)
+            final_dtype, sum_vol.chunks, compressor=DEFAULT_COMPRESSOR,
+            delete_existing=True)
         z = sum_vol.shape[-3]
         cz = sum_vol.chunks[-3]
         for z0 in range(0, z, cz):
