@@ -201,6 +201,23 @@ def make_eval_step(
             l = fn(outputs[name], targets[name])
             metrics[name] = l
             total = total + l
+            # quality metrics alongside losses (the BASELINE.md headline
+            # metrics): hard Dice for binary heads, masked cosine similarity
+            # for normals
+            out = outputs[name]
+            tgt = targets[name]
+            if not isinstance(out, (list, tuple)):
+                if name.lower() == "normals" and out.shape[-1] == 3:
+                    from .losses import MaskedCosineLoss
+                    metrics[f"{name}_cosine"] = 1.0 - MaskedCosineLoss()(
+                        out, tgt)
+                elif out.shape[-1] == 1:
+                    pred = (out > 0).astype(jnp.float32)  # sigmoid(x)>.5
+                    t = (tgt > 0.5).astype(jnp.float32)
+                    inter = jnp.sum(pred * t)
+                    metrics[f"{name}_dice"] = (
+                        2.0 * inter / jnp.clip(jnp.sum(pred) + jnp.sum(t),
+                                               min=1e-8))
         metrics["total_loss"] = total
         return metrics
 

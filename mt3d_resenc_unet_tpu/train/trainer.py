@@ -267,7 +267,7 @@ class Trainer:
         dataset.augment = False
         try:
             n = min(mgr.max_val_steps_per_epoch, len(val_idx))
-            running = {t: 0.0 for t in mgr.tasks}
+            running = {}
             steps = 0
             first_batch = None
             for batch in device_prefetch(
@@ -275,17 +275,21 @@ class Trainer:
                                    num_threads=mgr.train_num_dataloader_workers),
                     mesh=None):
                 m = eval_step(state.params, batch)
-                for t in mgr.tasks:
-                    running[t] += float(m[t])
+                for key, v in m.items():
+                    running[key] = running.get(key, 0.0) + float(v)
                 if first_batch is None:
                     first_batch = batch
                 steps += 1
             if steps == 0:
                 return {}
-            out = {f"val/{t}_loss": running[t] / steps for t in mgr.tasks}
+            out = {}
+            for key, v in running.items():
+                name = f"val/{key}_loss" if key in mgr.tasks else f"val/{key}"
+                out[name] = v / steps
             writer.write(epoch, out)
             print("[val] " + " | ".join(
-                f"{t}: {running[t] / steps:.4f}" for t in mgr.tasks))
+                f"{k.removeprefix('val/')}: {v:.4f}" for k, v in out.items()
+                if k != "val/total_loss"))
             # debug GIF on the first val batch (reference: train.py:299-320)
             try:
                 preds = predict_step(state.params, first_batch["image"])
