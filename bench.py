@@ -68,6 +68,15 @@ def build(batch, patch, accum=1):
     return state, step, batch_data
 
 
+def flagship_plan(patch):
+    from mt3d_resenc_unet_tpu.core.plan import TaskHead, plan_from_autoconfig
+    return plan_from_autoconfig(
+        patch, in_channels=1,
+        tasks=[TaskHead("sheet", 1, "sigmoid"),
+               TaskHead("normals", 3, "none")],
+        model_name="bench", use_pallas_conv=True)
+
+
 def run_bench(batch, patch, steps, warmup):
     state, step, data = build(batch, patch)
     # compile + warmup; fetch the loss to force real execution (the axon
@@ -144,33 +153,43 @@ def main():
     candidates = [args.batch] if args.batch else [8, 4, 2, 1]
     value = None
     used_batch = None
-    for b in candidates:
+    errors = []
+    for i, b in enumerate(candidates):
         try:
             value = run_bench(b, patch, args.steps, args.warmup)
             used_batch = b
             break
         except Exception as e:
-            msg = str(e)
-            if any(s in msg for s in (
-                    "RESOURCE_EXHAUSTED", "Out of memory", "out of memory",
-                    "exceeds the amount", "Ran out of memory",
-                    "Exceeded hbm capacity", "tpu_compile_helper")):
-                print(f"[bench] batch {b} OOM, trying smaller",
-                      file=sys.stderr)
-                continue
-            raise
-    if value is None:
-        raise RuntimeError("all batch sizes OOMed")
+            # Any failure at a larger batch that a smaller batch avoids is
+            # effectively a capacity limit (OOM strings vary by runtime
+            # version); only the LAST candidate's failure is fatal.
+            errors.append(f"batch {b}: {type(e).__name__}: {e}")
+            if i == len(candidates) - 1:
+                raise RuntimeError(
+                    "bench failed at every batch size:\n" +
+                    "\n".join(errors))
+            print(f"[bench] batch {b} failed ({type(e).__name__}), "
+                  f"trying smaller", file=sys.stderr)
 
     n_chips = max(1, len(jax.devices()))
     per_chip = value / n_chips
-    print(f"[bench] batch={used_batch} patch={patch} devices={n_chips}",
+    # achieved TFLOP/s + MFU against the machine (not the estimated-GPU
+    # ratio): analytic model FLOPs, utils/flops.py
+    from mt3d_resenc_unet_tpu.utils.flops import (
+        V5E_PEAK_BF16_TFLOPS, mfu, train_step_flops)
+    fl = train_step_flops(flagship_plan(patch))
+    tflops, util = mfu(value, fl)
+    print(f"[bench] batch={used_batch} patch={patch} devices={n_chips} "
+          f"model_tflops_per_sec={tflops:.1f} "
+          f"mfu={100 * util:.1f}% (peak {V5E_PEAK_BF16_TFLOPS:.0f} TF/s bf16)",
           file=sys.stderr)
     print(json.dumps({
         "metric": "train_patches_per_sec_per_chip_128cubed",
         "value": round(per_chip, 3),
         "unit": "patches/s/chip",
         "vs_baseline": round(per_chip / ESTIMATED_A100_PATCHES_PER_SEC, 3),
+        "model_tflops_per_sec": round(tflops, 1),
+        "mfu": round(util, 4),
     }))
 
 

@@ -113,6 +113,10 @@ class ConfigManager:
         # ---- inference_config ------------------------------------------
         i = self.inference_config
         self.infer_checkpoint_path = i.get("checkpoint_path", None)
+        # when not explicitly set, the inference patch follows the TRAIN patch
+        # *after* autoconfig pads it (build_plan below); a default-config
+        # inference must not rebuild the plan with the unpadded size
+        self._infer_patch_explicit: bool = "patch_size" in i
         self.infer_patch_size: Tuple[int, ...] = tuple(i.get("patch_size", self.train_patch_size))
         self.infer_batch_size: int = int(i.get("batch_size", self.train_batch_size))
         self.infer_output_path: str = i.get("output_path", "./outputs")
@@ -130,6 +134,12 @@ class ConfigManager:
         # used uniform count averaging; here it is first-class).
         self.infer_gaussian_blend: bool = bool(i.get("gaussian_blend", True))
         self.infer_gaussian_sigma_scale: float = float(i.get("gaussian_sigma_scale", 1.0 / 8))
+        # Host-RAM ceiling for accumulation slabs. Volumes whose full-plane
+        # rolling slab would exceed it are processed in disjoint (z, y-band)
+        # tiles (scroll-scale stores; the reference's per-patch zarr RMW was
+        # memory-bounded but ~100x slower — inference.py:135-157).
+        self.infer_host_ram_budget_gb: float = float(
+            i.get("host_ram_budget_gb", 8.0))
 
         # output targets: accept dict {name: {channels, activation}}, a list of
         # names (resolved against training targets), or the reference's quirky
@@ -200,7 +210,9 @@ class ConfigManager:
                 use_pallas = False
         if self.autoconfigure:
             overrides = {}
-            for key in ("squeeze_excitation", "conv_bias", "stochastic_depth_p", "do_stem"):
+            for key in ("squeeze_excitation", "conv_bias",
+                        "stochastic_depth_p", "do_stem", "deep_supervision",
+                        "squeeze_excitation_reduction_ratio"):
                 if key in self.model_config:
                     overrides[key] = self.model_config[key]
             plan = plan_from_autoconfig(
@@ -227,6 +239,9 @@ class ConfigManager:
         if plan.patch_size and tuple(plan.patch_size) != self.train_patch_size:
             print(f"[config] patch_size {self.train_patch_size} padded to "
                   f"{tuple(plan.patch_size)} for pooling divisibility")
+            if not self._infer_patch_explicit \
+                    and self.infer_patch_size == self.train_patch_size:
+                self.infer_patch_size = tuple(plan.patch_size)
             self.train_patch_size = tuple(plan.patch_size)
         return plan
 

@@ -395,6 +395,7 @@ def plan_from_manual_config(
             else 1.0 / 16.0
         ),
         stochastic_depth_p=float(model_config.get("stochastic_depth_p", 0.0)),
+        deep_supervision=bool(model_config.get("deep_supervision", False)),
         patch_size=tuple(int(p) for p in patch_size),
         model_name=model_name,
     )

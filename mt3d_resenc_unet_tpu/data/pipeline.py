@@ -77,20 +77,32 @@ def device_prefetch(
 
     With a mesh, the batch axis is sharded over ``dp_axis`` so each device
     receives only its shard (the pjit data-parallel feed; no reference
-    counterpart — SURVEY.md §2.4)."""
+    counterpart — SURVEY.md §2.4). Multi-process, each host passes ONLY its
+    local samples and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` (parallel/distributed.py)."""
     sharding = batch_sharding(mesh, dp_axis) if mesh is not None else None
+    multiproc = jax.process_count() > 1
 
     def put(batch):
         if sharding is not None:
+            if multiproc:
+                return jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        sharding, np.asarray(x)), batch)
             return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
         return jax.tree.map(jax.device_put, batch)
 
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
 
     def producer():
+        # Propagate producer-side failures (dataset reads, device_put) to the
+        # consumer instead of silently truncating the epoch: the exception is
+        # enqueued and re-raised from the consuming thread.
         try:
             for batch in host_batches:
                 q.put(put(batch))
+        except BaseException as e:  # noqa: BLE001 - forwarded, not swallowed
+            q.put(e)
         finally:
             q.put(_EOD)
 
@@ -100,6 +112,8 @@ def device_prefetch(
         item = q.get()
         if isinstance(item, _EndOfData):
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

@@ -52,7 +52,8 @@ def _kvstore_spec(path: str) -> Dict[str, Any]:
         return {"driver": "gcs", "bucket": bucket, "path": prefix}
     if path.startswith("memory://"):
         return {"driver": "memory", "path": path[len("memory://"):]}
-    return {"driver": "file", "path": path}
+    # tensorstore's file driver rejects relative "./x" paths; normalize
+    return {"driver": "file", "path": os.path.abspath(path)}
 
 
 @dataclasses.dataclass

@@ -149,10 +149,16 @@ class ZarrInferenceEngine:
 
     # ------------------------------------------------------------------
     def _build_model(self):
+        import dataclasses as _dc
         plan = self.mgr.build_plan()
+        # inference always consumes the single full-resolution head; the seg
+        # params for deeper stages exist either way (models/network.py), so
+        # DS-trained checkpoints load unchanged
+        if plan.deep_supervision:
+            plan = _dc.replace(plan, deep_supervision=False)
         if tuple(self.mgr.infer_patch_size) != tuple(plan.patch_size):
-            plan = type(plan)(**{**plan.__dict__,
-                                 "patch_size": tuple(self.mgr.infer_patch_size)})
+            plan = _dc.replace(
+                plan, patch_size=tuple(self.mgr.infer_patch_size))
             plan.validate_patch(self.mgr.infer_patch_size)
         model = ResEncUNet(plan=plan, dtype=_DTYPES.get(
             self.mgr.compute_dtype, jnp.bfloat16))
@@ -334,16 +340,20 @@ def finalize_overlaps(store_path: str, targets: Dict[str, Dict],
     to unit vectors (never averaged), everything else becomes sum/weight
     (reference: inference.py:166-210).
 
-    Idempotent: a ``.finalized`` marker in the store makes repeated
-    ``--postprocess_only`` runs skip the (destructive) re-averaging — the
-    reference silently corrupts its sums when postprocess runs twice
-    (dividing an already-averaged volume by the counts again)."""
-    marker = os.path.join(store_path, ".finalized")
-    if os.path.exists(marker):
-        print("[infer] store already finalized; skipping overlap averaging "
-              "(delete .finalized to force)")
-        return
+    Idempotent: a ``.finalized_{target}`` marker is written in the store the
+    moment each target's averaging completes (plus a legacy ``.finalized``
+    once all are done), so repeated ``--postprocess_only`` runs — including
+    reruns after a mid-finalize crash — never re-average an already-averaged
+    target. The reference silently corrupts its sums when postprocess runs
+    twice (dividing an already-averaged volume by the counts again)."""
+    legacy_marker = os.path.join(store_path, ".finalized")
+    legacy_done = os.path.exists(legacy_marker)
     for name, info in targets.items():
+        marker = os.path.join(store_path, f".finalized_{name}")
+        if legacy_done or os.path.exists(marker):
+            print(f"[infer] target '{name}' already finalized; skipping "
+                  f"(delete {os.path.basename(marker)} to force)")
+            continue
         c = int(info["channels"])
         sum_vol = open_zarr(os.path.join(store_path, f"{name}_sum"),
                             writable=True)
@@ -372,8 +382,11 @@ def finalize_overlaps(store_path: str, targets: Dict[str, Dict],
                 sum_vol[z0:z1] = sblock[0]
             else:
                 sum_vol[:, z0:z1] = sblock
-    with open(marker, "w") as f:
-        f.write("overlap averaging applied\n")
+        with open(marker, "w") as f:
+            f.write("overlap averaging applied\n")
+    if not legacy_done:
+        with open(legacy_marker, "w") as f:
+            f.write("overlap averaging applied to all targets\n")
 
 
 def quantize_final(store_path: str, targets: Dict[str, Dict]) -> None:

@@ -42,9 +42,17 @@ def _conv_kernel(w: np.ndarray) -> np.ndarray:
 
 
 def _transp_kernel(w: np.ndarray) -> np.ndarray:
-    """torch ConvTranspose (I, O, *k) -> flax (*k, I, O)"""
+    """torch ConvTranspose (I, O, *k) -> flax (*k, I, O), spatially flipped.
+
+    torch's conv_transpose computes y[k*i + d] = x[i] @ W[d] while flax
+    ``nn.ConvTranspose`` (and our ``UpsampleConv``) apply the kernel
+    spatially flipped: y[k*i + d] = x[i] @ W[k-1-d]. Without the flip,
+    imported reference checkpoints produce spatially reversed upsampling
+    (verified numerically against torch.nn.functional.conv_transpose3d in
+    tests/test_import_torch.py)."""
     nd = w.ndim - 2
-    return np.transpose(w, tuple(range(2, 2 + nd)) + (0, 1))
+    arr = np.transpose(w, tuple(range(2, 2 + nd)) + (0, 1))
+    return np.flip(arr, axis=tuple(range(nd)))
 
 
 _PATTERNS = [

@@ -102,6 +102,10 @@ def load_params_any(path) -> Any:
             raw = mgr.restore(max(steps))
         finally:
             mgr.close()
+    elif (path / "default").is_dir():
+        # a single CheckpointManager step dir (e.g. ckpts/model/3): the
+        # pytree lives under the 'default' item
+        raw = ocp.StandardCheckpointer().restore(path / "default")
     else:
         raw = ocp.StandardCheckpointer().restore(path)
     if isinstance(raw, dict) and "params" in raw:

@@ -142,15 +142,33 @@ class BCELoss:
         return jnp.mean(loss) if self.reduction == "mean" else jnp.sum(loss)
 
 
+def expand_as_one_hot(labels: jax.Array, num_classes: int) -> jax.Array:
+    """Integer class labels ``(N, *spatial)`` or ``(N, *spatial, 1)`` ->
+    one-hot ``(N, *spatial, num_classes)`` float32, channels-last
+    (reference: builders/utils.py expand_as_one_hot, which emits NCDHW)."""
+    if labels.ndim and labels.shape[-1] == 1:
+        labels = labels[..., 0]
+    return jax.nn.one_hot(labels.astype(jnp.int32), num_classes,
+                          dtype=jnp.float32)
+
+
 @dataclasses.dataclass(frozen=True)
 class CrossEntropyLoss:
-    """Softmax cross entropy over the channel axis with dense (soft or
-    one-hot) targets of the same shape."""
+    """Softmax cross entropy over the channel axis.
+
+    Targets may be dense (soft or one-hot, same shape as ``pred``) or integer
+    class indices with a trailing singleton channel / no channel axis —
+    matching torch's ``nn.CrossEntropyLoss`` accepting index targets
+    (reference wires it at train.py:47-56)."""
 
     reduction: str = "mean"
 
     def __call__(self, pred, target):
-        pred, target = _f32(pred, target)
+        pred = pred.astype(jnp.float32)
+        if target.shape != pred.shape:
+            target = expand_as_one_hot(target, pred.shape[-1])
+        else:
+            target = target.astype(jnp.float32)
         logp = jax.nn.log_softmax(pred, axis=-1)
         loss = -jnp.sum(target * logp, axis=-1)
         return jnp.mean(loss) if self.reduction == "mean" else jnp.sum(loss)
@@ -255,6 +273,26 @@ class MaskingLossWrapper:
 
 
 @dataclasses.dataclass(frozen=True)
+class LossOnLabelWrapper:
+    """Restrict the loss to labeled voxels (any target channel nonzero).
+
+    Implements the ``loss_only_on_label`` capability the reference declares
+    in its YAML but never wired (tasks/example.yaml:26; no implementation
+    anywhere in the reference — SURVEY.md §5.6). Masking follows the
+    reference's _MaskingLossWrapper convention (losses.py:46-66): both pred
+    and target are zeroed outside the mask, so unlabeled voxels contribute a
+    constant, zero-gradient term."""
+
+    loss: Loss
+
+    def __call__(self, pred, target):
+        labeled = jnp.sum(jnp.abs(target.astype(jnp.float32)), axis=-1,
+                          keepdims=True) > 0
+        mask = jax.lax.stop_gradient(labeled.astype(pred.dtype))
+        return self.loss(pred * mask, target * mask.astype(target.dtype))
+
+
+@dataclasses.dataclass(frozen=True)
 class SkipLastTargetChannelWrapper:
     """Drop the last target channel before computing the loss
     (reference: losses.py:69-90). Channel axis is last."""
@@ -282,11 +320,12 @@ LOSS_FN_MAP: Dict[str, Callable[..., Loss]] = {
 
 
 def build_task_losses(tasks: Dict[str, dict],
-                      ignore_label: Optional[float] = None) -> Dict[str, Loss]:
+                      ignore_label: Optional[float] = None,
+                      loss_only_on_label: bool = False) -> Dict[str, Loss]:
     """Per-task loss construction from config (reference: train.py:43-66),
-    with optional ignore-label masking (the reference declares
-    ``ignore_label`` in its YAML but never implements it —
-    tasks/example.yaml:25)."""
+    with optional ignore-label masking and labeled-region restriction (the
+    reference declares ``ignore_label`` / ``loss_only_on_label`` in its YAML
+    but never implements either — tasks/example.yaml:25-26)."""
     losses: Dict[str, Loss] = {}
     for name, info in tasks.items():
         loss_name = info.get("loss_fn", "BCEDiceLoss")
@@ -298,5 +337,7 @@ def build_task_losses(tasks: Dict[str, dict],
         loss = LOSS_FN_MAP[loss_name](**kwargs)
         if ignore_label is not None:
             loss = MaskingLossWrapper(loss, float(ignore_label))
+        if loss_only_on_label:
+            loss = LossOnLabelWrapper(loss)
         losses[name] = loss
     return losses

@@ -143,8 +143,17 @@ def make_train_step(
             (total, per_task), grads = grad_fn(state.params, batch, step_rng)
         else:
             def split_micro(x):
-                return x.reshape((grad_accum_steps, x.shape[0] // grad_accum_steps)
-                                 + x.shape[1:])
+                # INTERLEAVED split: microbatch k = samples [k::accum]. With
+                # the batch axis sharded over the data mesh axis, each
+                # device's contiguous shard contributes rows to EVERY
+                # microbatch, so the per-microbatch slice stays device-local
+                # (a plain (accum, micro) reshape would make microbatch k a
+                # contiguous block living on a subset of devices and force an
+                # all-to-all each scan iteration). The accumulated gradient
+                # over the full batch is identical either way.
+                micro = x.shape[0] // grad_accum_steps
+                x = x.reshape((micro, grad_accum_steps) + x.shape[1:])
+                return jnp.swapaxes(x, 0, 1)
 
             micros = jax.tree.map(split_micro, batch)
 
@@ -198,7 +207,13 @@ def make_eval_step(
         metrics = {}
         total = jnp.zeros((), jnp.float32)
         for name, fn in loss_fns.items():
-            l = fn(outputs[name], targets[name])
+            out_h = outputs[name]
+            if isinstance(out_h, (list, tuple)):
+                # deep supervision: validate on the full-resolution head only
+                out_h = out_h[0]
+                outputs = dict(outputs)
+                outputs[name] = out_h
+            l = fn(out_h, targets[name])
             metrics[name] = l
             total = total + l
             # quality metrics alongside losses (the BASELINE.md headline
@@ -229,6 +244,9 @@ def make_predict_step(model) -> Callable[[Any, jax.Array], Dict[str, jax.Array]]
     forward in eval: build_network_from_config.py:321-323)."""
 
     def predict(params, image):
-        return model.apply({"params": params}, image, train=False)
+        outs = model.apply({"params": params}, image, train=False)
+        # deep supervision: expose only the full-resolution head
+        return {k: (v[0] if isinstance(v, (list, tuple)) else v)
+                for k, v in outs.items()}
 
     return jax.jit(predict)

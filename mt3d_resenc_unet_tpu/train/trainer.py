@@ -31,6 +31,8 @@ from ..core.plan import NetworkPlan
 from ..data.dataset import ZarrPatchDataset
 from ..data.pipeline import batch_iterator, device_prefetch, train_val_split
 from ..models.network import ResEncUNet, count_params
+from ..parallel.distributed import (global_mesh, is_main_process,
+                                    process_batch_slice, sync_global_devices)
 from ..parallel.mesh import make_mesh, pad_batch_to_devices, replicate
 from .checkpoint import CheckpointManager, merge_params_nonstrict, save_params
 from .losses import build_task_losses
@@ -75,7 +77,8 @@ class Trainer:
         return ZarrPatchDataset(self.mgr, seed=self.mgr.seed)
 
     def _build_loss(self):
-        return build_task_losses(self.mgr.tasks, self.mgr.ignore_label)
+        return build_task_losses(self.mgr.tasks, self.mgr.ignore_label,
+                                 loss_only_on_label=self.mgr.loss_only_on_label)
 
     def _get_scheduler(self, opt_steps_per_epoch: int):
         return cosine_epoch_schedule(
@@ -134,7 +137,15 @@ class Trainer:
                   "exiting before training (parity with --debug_dataloader).")
             return {}
 
-        mesh = make_mesh(mgr.mesh_shape, (mgr.dp_axis,))
+        # multi-process (multi-host pod/pod-slice): mesh over GLOBAL devices,
+        # per-host batch feeding, process-0-only writes. The reference has no
+        # distributed runtime at all (SURVEY.md §2.5).
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            mesh = global_mesh(mgr.dp_axis, mgr.mesh_shape)
+        else:
+            mesh = make_mesh(mgr.mesh_shape, (mgr.dp_axis,))
+        main = is_main_process()
         micro_bs = self._microbatch_size(mesh)
         accum = max(1, mgr.gradient_accumulation)
         opt_steps_per_epoch = max(1, mgr.max_steps_per_epoch // accum)
@@ -177,18 +188,31 @@ class Trainer:
             dataset.set_seed(mgr.seed * 100003 + epoch)
             perm = ep_rng.permutation(len(train_idx)).tolist()
             epoch_indices = [train_idx[i] for i in perm]
-            # each optimizer step consumes micro_bs * accum samples
+            # each optimizer step consumes micro_bs * accum samples (GLOBAL)
             step_samples = micro_bs * accum
             need = opt_steps_per_epoch * step_samples
             while len(epoch_indices) < need and epoch_indices:
                 epoch_indices = epoch_indices + epoch_indices
             epoch_indices = epoch_indices[:need]
+            if n_proc > 1:
+                # per-host feeding: every process derives the SAME global
+                # permutation (seeded) and loads only its slice of each
+                # step's samples; make_global_batch (via device_prefetch)
+                # assembles the logically-global sharded batch.
+                sl = process_batch_slice(step_samples)
+                epoch_indices = [
+                    idx for s in range(opt_steps_per_epoch)
+                    for idx in epoch_indices[s * step_samples:(s + 1) * step_samples][sl]
+                ]
+                host_step_samples = step_samples // n_proc
+            else:
+                host_step_samples = step_samples
 
             running = {t: 0.0 for t in mgr.tasks}
             steps = 0
             t_start = time.time()
             batches = batch_iterator(
-                dataset, epoch_indices, step_samples,
+                dataset, epoch_indices, host_step_samples,
                 num_threads=mgr.train_num_dataloader_workers)
             profile_dir = self.mgr.tr_info.get("profile_dir")
             for batch in device_prefetch(batches, mesh, mgr.dp_axis):
@@ -213,19 +237,22 @@ class Trainer:
             epoch_means = {f"train/{t}_loss": running[t] / steps
                            for t in mgr.tasks}
             epoch_means["train/patches_per_sec"] = steps * step_samples / max(dt, 1e-9)
-            writer.write(epoch, epoch_means)
-            print(f"[epoch {epoch + 1}/{mgr.max_epoch}] " +
-                  " | ".join(f"{t}: {running[t] / steps:.4f}"
-                             for t in mgr.tasks) +
-                  f" | {epoch_means['train/patches_per_sec']:.2f} patches/s")
+            if main:
+                writer.write(epoch, epoch_means)
+                print(f"[epoch {epoch + 1}/{mgr.max_epoch}] " +
+                      " | ".join(f"{t}: {running[t] / steps:.4f}"
+                                 for t in mgr.tasks) +
+                      f" | {epoch_means['train/patches_per_sec']:.2f} patches/s")
 
             # ---- checkpoint (keep-N GC handled by orbax) ----
-            ckpt.save(epoch, {
-                "params": jax.device_get(state.params),
-                "opt_state": jax.device_get(state.opt_state),
-                "step": int(state.step),
-                "epoch": epoch,
-            })
+            # params/opt_state are replicated: process 0 is the only writer
+            if main:
+                ckpt.save(epoch, {
+                    "params": jax.device_get(state.params),
+                    "opt_state": jax.device_get(state.opt_state),
+                    "step": int(state.step),
+                    "epoch": epoch,
+                })
 
             # ---- validation ----
             val_metrics = self._validate(
@@ -233,11 +260,14 @@ class Trainer:
                 mesh, epoch, writer)
             history.append({"epoch": epoch, **epoch_means, **val_metrics})
 
-        save_params(Path(f"{mgr.model_name}_final").absolute(),
-                    jax.device_get(state.params))
+        if main:
+            save_params(Path(f"{mgr.model_name}_final").absolute(),
+                        jax.device_get(state.params))
         writer.close()
         ckpt.close()
-        print("Training Finished!")
+        sync_global_devices("train_done")
+        if main:
+            print("Training Finished!")
         return {"state": state, "history": history, "plan": plan}
 
     # ------------------------------------------------------------------ utils
@@ -265,15 +295,34 @@ class Trainer:
             return {}
         was_aug = dataset.augment
         dataset.augment = False
+        main = is_main_process()
         try:
-            n = min(mgr.max_val_steps_per_epoch, len(val_idx))
+            # validation rides the SAME data-parallel mesh as training: one
+            # patch per device per eval step (the reference evals at batch 1
+            # on its single GPU, train.py:268-327 — replicating that here
+            # would idle every chip but one)
+            n_dev = mesh.devices.size
+            n_proc = jax.process_count()
+            n = min(mgr.max_val_steps_per_epoch * n_dev, len(val_idx))
+            idx = list(val_idx[:n])
+            k = 0
+            while len(idx) % n_dev:   # pad to a full batch by wrapping
+                idx.append(val_idx[k % len(val_idx)])
+                k += 1
+            if n_proc > 1:
+                sl = process_batch_slice(n_dev)
+                idx = [i for s in range(len(idx) // n_dev)
+                       for i in idx[s * n_dev:(s + 1) * n_dev][sl]]
+                host_bs = n_dev // n_proc
+            else:
+                host_bs = n_dev
             running = {}
             steps = 0
             first_batch = None
             for batch in device_prefetch(
-                    batch_iterator(dataset, val_idx[:n], 1,
+                    batch_iterator(dataset, idx, host_bs, drop_last=False,
                                    num_threads=mgr.train_num_dataloader_workers),
-                    mesh=None):
+                    mesh, mgr.dp_axis):
                 m = eval_step(state.params, batch)
                 for key, v in m.items():
                     running[key] = running.get(key, 0.0) + float(v)
@@ -286,11 +335,16 @@ class Trainer:
             for key, v in running.items():
                 name = f"val/{key}_loss" if key in mgr.tasks else f"val/{key}"
                 out[name] = v / steps
-            writer.write(epoch, out)
-            print("[val] " + " | ".join(
-                f"{k.removeprefix('val/')}: {v:.4f}" for k, v in out.items()
-                if k != "val/total_loss"))
-            # debug GIF on the first val batch (reference: train.py:299-320)
+            if main:
+                writer.write(epoch, out)
+                print("[val] " + " | ".join(
+                    f"{k.removeprefix('val/')}: {v:.4f}" for k, v in out.items()
+                    if k != "val/total_loss"))
+            # debug GIF on the first val batch (reference: train.py:299-320);
+            # the global batch is not fully host-addressable multi-process,
+            # so visualization is a single-process feature
+            if not main or jax.process_count() > 1:
+                return out
             try:
                 preds = predict_step(state.params, first_batch["image"])
                 for t in mgr.tasks:

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Per-op microbenchmarks on the real TPU: every conv shape class in the
+flagship 128^3 net, fwd / dx / dW, XLA vs banded Pallas, plus norms and
+upsampling. Guides kernel priorities (docs/PERFORMANCE.md).
+
+Usage: python scripts/profile_convs.py [--batch 2]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _sync(out):
+    # fetch one element: forces real execution on the axon tunnel (plain
+    # block_until_ready on chained dispatches can return early; see
+    # docs/PERFORMANCE.md)
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def timeit(fn, *args, iters=20, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    dt = (time.perf_counter() - t0) / iters
+    return dt
+
+
+def conv_flops(shape_out, kernel, cin):
+    return 2 * np.prod(shape_out) * np.prod(kernel) * cin
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=2)
+    args = p.parse_args()
+    b = args.batch
+
+    from mt3d_resenc_unet_tpu.ops.pallas_conv import (
+        conv3d_small_c, conv3d_packed, conv3d_dw_packed, is_supported,
+        _ref_conv)
+
+    key = jax.random.key(0)
+
+    # (label, spatial_in, cin, cout, stride)
+    cases = [
+        ("stem 1->32 @128", (128, 128, 128), 1, 32, 1),
+        ("s0 32->32 @128", (128, 128, 128), 32, 32, 1),
+        ("s1 dn 32->64 @128", (128, 128, 128), 32, 64, 2),
+        ("s1 64->64 @64", (64, 64, 64), 64, 64, 1),
+        ("s2 dn 64->128 @64", (64, 64, 64), 64, 128, 2),
+        ("s2 128->128 @32", (32, 32, 32), 128, 128, 1),
+        ("s3 dn 128->256 @32", (32, 32, 32), 128, 256, 2),
+        ("s3 256 @16", (16, 16, 16), 256, 256, 1),
+        ("s4 dn 256->512 @16", (16, 16, 16), 256, 512, 2),
+        ("s4 512 @8", (8, 8, 8), 512, 512, 1),
+        ("dec 64->32 @128", (128, 128, 128), 64, 32, 1),
+        ("dec 128->64 @64", (64, 64, 64), 128, 64, 1),
+        ("dec 256->128 @32", (32, 32, 32), 256, 128, 1),
+    ]
+
+    print(f"batch={b}  (times in ms, TF/s = useful conv FLOPs / time)")
+    hdr = (f"{'case':22s} {'xla_fwd':>9s} {'pal_fwd':>9s} "
+           f"{'xla_dw':>9s} {'pal_dw':>9s} {'tf_fwd':>7s}")
+    print(hdr)
+    for label, sp, cin, cout, st in cases:
+        x = jax.random.normal(key, (b,) + sp + (cin,), jnp.bfloat16)
+        w = jax.random.normal(key, (3, 3, 3, cin, cout), jnp.bfloat16)
+        strides = (st,) * 3
+        pad = ((1, 1),) * 3
+        out_sp = tuple(s // st for s in sp)
+
+        def xla_conv(x, w):
+            return lax.conv_general_dilated(
+                x, w, strides, pad,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.bfloat16)
+
+        f_xla = jax.jit(xla_conv)
+        t_xla = timeit(f_xla, x, w)
+
+        t_pal = float("nan")
+        if st == 1 and is_supported(x.shape, w.shape):
+            f_pal = jax.jit(conv3d_small_c)
+            t_pal = timeit(f_pal, x, w)
+
+        # dW: gy (b, out_sp, cout); XLA reverse conv vs banded dw kernel
+        gy = jax.random.normal(key, (b,) + out_sp + (cout,), jnp.bfloat16)
+
+        def xla_dw(x, gy):
+            return lax.conv_general_dilated(
+                jnp.moveaxis(x, 0, -1).reshape(sp + (b * cin,))[None] if False
+                else x.transpose(4, 1, 2, 3, 0),  # IDHWN as "batch"=cin
+                gy.transpose(1, 2, 3, 0, 4),      # DHWNO
+                (1, 1, 1), pad,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32)
+
+        # simpler honest XLA dW: use jax.grad on the conv
+        def loss_w(w):
+            return jnp.sum(xla_conv(x, w).astype(jnp.float32) *
+                           gy.astype(jnp.float32))
+        f_xla_dw = jax.jit(jax.grad(loss_w))
+        t_xla_dw = timeit(f_xla_dw, w)
+
+        t_pal_dw = float("nan")
+        if st == 1 and cin == cout and is_supported(x.shape, w.shape):
+            g = 128 // cout
+            xp = x.reshape(b, sp[0], sp[1], sp[2] // g, g * cin)
+            gyp = gy.reshape(b, sp[0], sp[1], sp[2] // g, g * cout)
+            f_pal_dw = jax.jit(
+                lambda xp, gyp: conv3d_dw_packed(xp, gyp, g, w.shape))
+            t_pal_dw = timeit(f_pal_dw, xp, gyp)
+
+        fl = conv_flops((b,) + out_sp, (3, 3, 3), cin) * cout / cout * cout
+        fl = 2 * b * np.prod(out_sp) * 27 * cin * cout
+        best = np.nanmin([t_xla, t_pal])
+        print(f"{label:22s} {t_xla*1e3:9.2f} {t_pal*1e3:9.2f} "
+              f"{t_xla_dw*1e3:9.2f} {t_pal_dw*1e3:9.2f} "
+              f"{fl/best/1e12:7.1f}")
+
+
+if __name__ == "__main__":
+    main()

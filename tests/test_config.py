@@ -114,3 +114,50 @@ def test_autoconfig_patch_padding_reconciled():
     plan = mgr.build_plan()
     assert tuple(mgr.train_patch_size) == tuple(plan.patch_size)
     plan.validate_patch(mgr.train_patch_size)
+
+
+def test_infer_patch_size_follows_padding_when_defaulted():
+    """A config trained with an autoconfig-padded patch must infer with the
+    same padded patch unless inference_config.patch_size is explicit."""
+    cfg = _minimal()
+    cfg["tr_config"]["patch_size"] = [100, 100, 100]
+    mgr = ConfigManager(config_dict=cfg)
+    plan = mgr.build_plan()
+    assert tuple(mgr.infer_patch_size) == tuple(plan.patch_size)
+    plan.validate_patch(mgr.infer_patch_size)
+    # explicit inference patch size is preserved verbatim
+    cfg2 = _minimal()
+    cfg2["tr_config"]["patch_size"] = [100, 100, 100]
+    cfg2["inference_config"]["patch_size"] = [64, 64, 64]
+    mgr2 = ConfigManager(config_dict=cfg2)
+    mgr2.build_plan()
+    assert tuple(mgr2.infer_patch_size) == (64, 64, 64)
+
+
+def test_deep_supervision_exposed_in_yaml():
+    """model_config.deep_supervision reaches the plan in both autoconfig and
+    manual modes (reference builds DS-capable decoders at decoder.py:97-100
+    but offers no config switch)."""
+    cfg = _minimal(model_config={"deep_supervision": True,
+                                 "squeeze_excitation": True,
+                                 "squeeze_excitation_reduction_ratio": 0.25,
+                                 "stochastic_depth_p": 0.1})
+    mgr = ConfigManager(config_dict=cfg)
+    plan = mgr.build_plan()
+    assert plan.deep_supervision is True
+    assert plan.squeeze_excitation is True
+    assert plan.squeeze_excitation_reduction_ratio == 0.25
+    assert plan.stochastic_depth_p == 0.1
+
+    manual = _minimal(model_config={
+        "basic_encoder_block": "BasicBlockD",
+        "basic_decoder_block": "ConvBlock",
+        "bottleneck_block": "BasicBlockD",
+        "features_per_stage": [8, 16],
+        "num_stages": 2, "n_blocks_per_stage": [1, 1],
+        "n_conv_per_stage_decoder": [1], "kernel_sizes": 3,
+        "strides": [1, 2], "deep_supervision": True,
+    })
+    manual["tr_setup"]["autoconfigure"] = False
+    mgr2 = ConfigManager(config_dict=manual)
+    assert mgr2.build_plan().deep_supervision is True

@@ -10,6 +10,9 @@ import pytest
 
 from mt3d_resenc_unet_tpu.data.zio import create_zarr, open_zarr
 
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):

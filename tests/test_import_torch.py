@@ -86,3 +86,28 @@ def test_conv_weight_permutation_semantics():
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
     out_ncdhw = np.transpose(np.asarray(out), (0, 4, 1, 2, 3))
     np.testing.assert_allclose(out_ncdhw, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_transpconv_import_numerical_parity():
+    """Imported torch ConvTranspose3d weights reproduce torch's output
+    through UpsampleConv exactly (the importer must flip spatial axes to
+    bridge torch's y[k*i+d]=x[i]@W[d] and flax's y[k*i+d]=x[i]@W[k-1-d])."""
+    import torch.nn.functional as F
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from mt3d_resenc_unet_tpu.models.network import UpsampleConv
+    from mt3d_resenc_unet_tpu.tools.import_torch import _transp_kernel
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 6, 3, 4, 5)).astype(np.float32)   # NCDHW
+    w = rng.standard_normal((6, 4, 2, 2, 2)).astype(np.float32)   # (I,O,*k)
+    ref = F.conv_transpose3d(torch.from_numpy(x), torch.from_numpy(w),
+                             stride=2).numpy()                    # (1,4,6,8,10)
+
+    x_cl = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))          # NDHWC
+    mod = UpsampleConv(features=4, kernel_size=(2, 2, 2), use_bias=False,
+                       dtype=jnp.float32)
+    params = {"params": {"kernel": jnp.asarray(_transp_kernel(w))}}
+    out = np.transpose(np.asarray(mod.apply(params, x_cl)), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)

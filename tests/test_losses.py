@@ -151,3 +151,38 @@ def test_registry_and_builder():
     assert set(fns) == {"sheet", "normals", "default"}
     with pytest.raises(ValueError, match="not found"):
         L.build_task_losses({"x": {"loss_fn": "NopeLoss"}})
+
+
+def test_expand_as_one_hot_and_ce_index_targets(rng):
+    from mt3d_resenc_unet_tpu.train.losses import (CrossEntropyLoss,
+                                                   expand_as_one_hot)
+    import jax.numpy as jnp
+
+    pred = jnp.asarray(rng.standard_normal((2, 4, 4, 4, 3)).astype(np.float32))
+    labels = rng.integers(0, 3, size=(2, 4, 4, 4, 1))
+    onehot = expand_as_one_hot(jnp.asarray(labels), 3)
+    assert onehot.shape == (2, 4, 4, 4, 3)
+    np.testing.assert_allclose(np.asarray(onehot).sum(-1), 1.0)
+    ce = CrossEntropyLoss()
+    l_idx = float(ce(pred, jnp.asarray(labels.astype(np.float32))))
+    l_hot = float(ce(pred, onehot))
+    assert abs(l_idx - l_hot) < 1e-6
+    # channel-less index targets work too
+    l_sq = float(ce(pred, jnp.asarray(labels[..., 0])))
+    assert abs(l_sq - l_hot) < 1e-6
+
+
+def test_loss_only_on_label_wrapper():
+    from mt3d_resenc_unet_tpu.train.losses import (LossOnLabelWrapper,
+                                                   MSELoss, build_task_losses)
+    import jax.numpy as jnp
+
+    pred = jnp.ones((1, 2, 2, 2, 1), jnp.float32) * 3.0
+    tgt = np.zeros((1, 2, 2, 2, 1), np.float32)
+    tgt[0, 0] = 1.0  # half the voxels labeled
+    wrapped = LossOnLabelWrapper(MSELoss())
+    # labeled half: (3-1)^2 = 4; unlabeled half: pred masked to 0 -> 0
+    assert abs(float(wrapped(pred, jnp.asarray(tgt))) - 2.0) < 1e-6
+    losses = build_task_losses(
+        {"t": {"loss_fn": "MSELoss"}}, loss_only_on_label=True)
+    assert isinstance(losses["t"], LossOnLabelWrapper)

@@ -15,6 +15,8 @@ from mt3d_resenc_unet_tpu.data.zio import (
     open_zarr,
 )
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup(tmp_path_factory):

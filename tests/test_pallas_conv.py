@@ -15,6 +15,8 @@ from mt3d_resenc_unet_tpu.ops.pallas_conv import (
     is_supported,
 )
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(autouse=True)
 def _interpret():

@@ -8,6 +8,9 @@ import jax.numpy as jnp
 
 from mt3d_resenc_unet_tpu.ops.instance_norm import instance_norm_act
 
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(autouse=True)
 def _interpret_mode():

@@ -67,3 +67,20 @@ def test_train_val_split_deterministic():
     assert sorted(a1 + v1) == list(range(100))
     a3, _ = train_val_split(100, 0.9, seed=4)
     assert a3 != a1
+
+
+def test_device_prefetch_propagates_producer_errors():
+    from mt3d_resenc_unet_tpu.data.pipeline import device_prefetch
+
+    def gen():
+        yield {"x": np.zeros((2, 4), np.float32)}
+        raise RuntimeError("zarr read failed")
+
+    it = device_prefetch(gen(), mesh=None)
+    next(it)
+    try:
+        next(it)
+        raised = False
+    except RuntimeError as e:
+        raised = "zarr read failed" in str(e)
+    assert raised, "producer exception must surface to the consumer"

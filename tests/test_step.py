@@ -71,3 +71,55 @@ def test_create_optimizer_factory():
         assert np.isfinite(np.asarray(updates["w"])).all(), name
     with pytest.raises(ValueError, match="Unknown optimizer"):
         create_optimizer("nope", 1e-3)
+
+
+def test_ds_train_step_from_yaml_config():
+    """End-to-end: a YAML config with deep_supervision trains — config ->
+    plan -> model -> jitted step, loss decreases over a few steps."""
+    from mt3d_resenc_unet_tpu.core.config import ConfigManager
+    from mt3d_resenc_unet_tpu.models.network import ResEncUNet
+    from mt3d_resenc_unet_tpu.train.losses import build_task_losses
+    from mt3d_resenc_unet_tpu.train.step import TrainState, make_train_step
+
+    cfg = {
+        "tr_setup": {"model_name": "ds", "autoconfigure": False},
+        "tr_config": {"patch_size": [8, 8, 8], "batch_size": 2},
+        "model_config": {
+            "basic_encoder_block": "BasicBlockD",
+            "basic_decoder_block": "ConvBlock",
+            "bottleneck_block": "BasicBlockD",
+            "features_per_stage": [4, 8, 8], "num_stages": 3,
+            "n_blocks_per_stage": [1, 1, 1],
+            "n_conv_per_stage_decoder": [1, 1],
+            "kernel_sizes": 3, "strides": [1, 2, 2],
+            "deep_supervision": True,
+        },
+        "dataset_config": {
+            "targets": {"sheet": {"channels": 1, "activation": "sigmoid",
+                                  "loss_fn": "BCEDiceLoss"}},
+            "volume_paths": [],
+        },
+        "inference_config": {},
+    }
+    mgr = ConfigManager(config_dict=cfg)
+    plan = mgr.build_plan()
+    assert plan.deep_supervision
+    model = ResEncUNet(plan=plan, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.random((2, 8, 8, 8, 1), np.float32)),
+        "sheet": jnp.asarray(
+            (rng.random((2, 8, 8, 8, 1)) > 0.5).astype(np.float32)),
+    }
+    params = model.init({"params": jax.random.key(0)}, batch["image"],
+                        train=False)["params"]
+    tx = build_optimizer("AdamW", cosine_epoch_schedule(1e-2, 10, 5))
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx,
+                              rng=jax.random.key(1))
+    step = make_train_step(model, build_task_losses(mgr.tasks), {"sheet": 1.0})
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["total_loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]

@@ -9,6 +9,9 @@ import pytest
 
 from mt3d_resenc_unet_tpu.data.zio import create_zarr
 
+pytestmark = pytest.mark.slow
+
+
 
 def _make_config(tmp_path, max_epoch=2, ckpt_path=None, load_weights_only=False):
     # synthetic volume: a dense labeled slab so the miner finds patches
