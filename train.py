@@ -6,8 +6,6 @@
 
 import argparse
 
-from mt3d_resenc_unet_tpu.train.trainer import Trainer
-
 
 def main():
     parser = argparse.ArgumentParser(
@@ -19,6 +17,12 @@ def main():
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
+    # multi-host: must run before any backend-initializing JAX call
+    # (no-op single-process; parallel/distributed.py)
+    from mt3d_resenc_unet_tpu.parallel.distributed import initialize
+    initialize()
+
+    from mt3d_resenc_unet_tpu.train.trainer import Trainer
     trainer = Trainer(args.config_path, verbose=args.verbose,
                       debug_dataloader=args.debug_dataloader)
     trainer.train()
