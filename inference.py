@@ -2,7 +2,7 @@
 """Inference CLI (entry parity with the reference: inference.py:292-308).
 
     python inference.py --config_path tasks/X.yaml [--write_layers]
-                        [--postprocess_only]
+                        [--postprocess_only] [--resume]
 """
 
 import argparse
@@ -22,12 +22,17 @@ def main():
     parser.add_argument("--postprocess_only", action="store_true",
                         help="Skip the model pass; only average/quantize "
                              "existing sum/count arrays.")
+    parser.add_argument("--resume", action="store_true",
+                        help="Continue an interrupted model pass from its "
+                             "tile watermark instead of aborting on an "
+                             "existing store.")
     args = parser.parse_args()
 
     engine = ZarrInferenceEngine(
         config_file=args.config_path,
         write_layers=args.write_layers,
         postprocess_only=args.postprocess_only,
+        resume=args.resume,
     )
     engine.infer()
 

@@ -41,6 +41,7 @@ from ..data.zio import (
     create_zarr,
     normalize_to_unit,
     open_zarr,
+    zarr_exists,
 )
 from ..models.network import ResEncUNet
 from ..train.checkpoint import load_params_any, merge_params_nonstrict
@@ -136,16 +137,46 @@ class _RollingAccumulator:
         self._pending.clear()
 
 
+def _create_sum_count(store_path: str, name: str, channels: int,
+                      in_shape, patch, open_existing: bool = False):
+    """``{name}_sum`` / ``{name}_count`` float32 stores chunked at patch size
+    (reference: inference.py:76-113); in resume mode existing stores are
+    reopened writable."""
+    if channels == 1:
+        out_shape: Tuple[int, ...] = tuple(in_shape)
+        chunks: Tuple[int, ...] = tuple(patch)
+    else:
+        out_shape = (channels,) + tuple(in_shape)
+        chunks = (channels,) + tuple(patch)
+    sum_path = os.path.join(store_path, f"{name}_sum")
+    cnt_path = os.path.join(store_path, f"{name}_count")
+    if open_existing and zarr_exists(sum_path):
+        return (open_zarr(sum_path, writable=True),
+                open_zarr(cnt_path, writable=True))
+    sum_vol = create_zarr(sum_path, out_shape, np.float32, chunks,
+                          compressor=DEFAULT_COMPRESSOR)
+    cnt_vol = create_zarr(cnt_path, tuple(in_shape), np.float32, tuple(patch),
+                          compressor=DEFAULT_COMPRESSOR)
+    return sum_vol, cnt_vol
+
+
 class ZarrInferenceEngine:
     """Config-driven inference (entry parity: inference.py:14-29)."""
 
     def __init__(self, config_file: Optional[str] = None,
                  write_layers: bool = False, postprocess_only: bool = False,
                  config_dict: Optional[Dict[str, Any]] = None,
-                 verbose: bool = False):
+                 verbose: bool = False, resume: bool = False):
         self.mgr = ConfigManager(config_file, config_dict, verbose=verbose)
         self.write_layers = write_layers
         self.postprocess_only = postprocess_only
+        # resume a killed model pass from its tile watermark (tiled mode)
+        self.resume = resume
+        # peak accumulation-slab allocation, for RAM-budget verification
+        self.max_slab_bytes = 0
+        # optional hook called after each completed tile (fault-injection in
+        # tests; also a natural progress-callback extension point)
+        self.tile_callback = None
 
     # ------------------------------------------------------------------
     def _build_model(self):
@@ -201,7 +232,13 @@ class ZarrInferenceEngine:
         return store_path
 
     # ------------------------------------------------------------------
-    def _run_model_pass(self, store_path: str, targets: Dict[str, Dict]):
+    def _setup_model_pass(self, targets: Dict[str, Dict]):
+        """Shared model-pass machinery: model+params, mesh-sharded jitted
+        forward with on-device Gaussian weighting, patch reader, position
+        grid. The forward is sharded over ALL local devices (one data-parallel
+        mesh axis) — the reference runs its inference hot loop on a single
+        GPU (inference.py:117-133); here every chip of a pod slice
+        contributes."""
         mgr = self.mgr
         plan, model = self._build_model()
         params = self._load_params(model, plan)
@@ -209,7 +246,6 @@ class ZarrInferenceEngine:
         input_vol = open_zarr(mgr.infer_input_path)
         in_shape = input_vol.shape[-3:]
         patch = tuple(mgr.infer_patch_size)
-        batch_size = mgr.infer_batch_size
 
         input_data = None
         if mgr.infer_load_all:
@@ -218,48 +254,44 @@ class ZarrInferenceEngine:
                 input_data = input_data.reshape(input_data.shape[-3:])
 
         positions = sliding_window_grid(in_shape, patch, mgr.infer_overlap)
-        positions.sort()  # z-major order for the rolling accumulator
+        positions.sort()  # deterministic z-major order
 
-        # exists-guard (reference: inference.py:70-74)
-        if os.path.isdir(store_path):
-            raise FileExistsError(
-                f"Zarr store '{store_path}' already exists. "
-                "Aborting to prevent overwrite.")
-
-        # sum/count stores per target (reference: inference.py:76-113)
-        accums: Dict[str, _RollingAccumulator] = {}
-        for name, info in targets.items():
-            c = int(info["channels"])
-            if c == 1:
-                out_shape: Tuple[int, ...] = in_shape
-                chunks: Tuple[int, ...] = patch
-            else:
-                out_shape = (c,) + in_shape
-                chunks = (c,) + patch
-            sum_vol = create_zarr(
-                os.path.join(store_path, f"{name}_sum"), out_shape,
-                np.float32, chunks, compressor=DEFAULT_COMPRESSOR)
-            cnt_vol = create_zarr(
-                os.path.join(store_path, f"{name}_count"), in_shape,
-                np.float32, patch, compressor=DEFAULT_COMPRESSOR)
-            accums[name] = _RollingAccumulator(sum_vol, cnt_vol, c, in_shape,
-                                               patch[0])
-
-        # weighting map; multiplied on device inside the jitted step
         if mgr.infer_gaussian_blend:
             wmap = gaussian_map(patch, mgr.infer_gaussian_sigma_scale)
         else:
             wmap = uniform_map(patch)
         wmap_dev = jnp.asarray(wmap)
 
-        @jax.jit
-        def forward(params, batch):
+        # shard the patch batch over the devices; replicate params
+        n_dev = max(1, len(jax.devices()))
+        batch_size = mgr.infer_batch_size
+        if n_dev > 1:
+            from ..parallel.mesh import (batch_sharding, make_mesh,
+                                         pad_batch_to_devices,
+                                         replicated_sharding)
+            mesh = make_mesh((n_dev,), ("data",))
+            bsh = batch_sharding(mesh, "data")
+            rep = replicated_sharding(mesh)
+            params = jax.device_put(params, rep)
+            bs = pad_batch_to_devices(batch_size, n_dev)
+            if bs != batch_size:
+                print(f"[infer] batch_size {batch_size} rounded up to {bs} "
+                      f"for {n_dev}-device inference")
+                batch_size = bs
+        else:
+            bsh = None
+
+        def fwd(params, batch):
             outs = model.apply({"params": params}, batch, train=False)
-            weighted = {}
-            for name in targets:
-                o = outs[name].astype(jnp.float32)
-                weighted[name] = o * wmap_dev[None, ..., None]
-            return weighted
+            return {name: outs[name].astype(jnp.float32)
+                    * wmap_dev[None, ..., None] for name in targets}
+
+        fwd_j = jax.jit(fwd)
+
+        def forward(params, host_batch):
+            batch = jnp.asarray(host_batch) if bsh is None \
+                else jax.device_put(host_batch, bsh)
+            return fwd_j(params, batch)
 
         normalization = mgr.infer_normalization
 
@@ -276,6 +308,58 @@ class ZarrInferenceEngine:
             if normalization == "standardize":
                 p = standardize(p)
             return p[..., None]
+
+        return (params, forward, read_patch, positions, patch, in_shape,
+                wmap, batch_size)
+
+    def _rolling_slab_bytes(self, targets, in_shape, patch) -> int:
+        z, y, x = in_shape
+        total = 0
+        for info in targets.values():
+            c = int(info["channels"])
+            total += (c + 1) * 2 * patch[0] * y * x * 4
+        return total
+
+    def _run_model_pass(self, store_path: str, targets: Dict[str, Dict]):
+        """Dispatch: full-plane rolling accumulation when the slab fits the
+        host-RAM budget; disjoint (z, y-band) tiles otherwise (and always in
+        --resume mode, whose watermark is tile-granular)."""
+        mgr = self.mgr
+        budget = int(mgr.infer_host_ram_budget_gb * 2 ** 30)
+        input_vol = open_zarr(mgr.infer_input_path)
+        in_shape = input_vol.shape[-3:]
+        patch = tuple(mgr.infer_patch_size)
+        needs_tiles = (self.resume or
+                       self._rolling_slab_bytes(targets, in_shape, patch)
+                       > budget)
+        if needs_tiles:
+            return self._run_model_pass_tiled(store_path, targets, budget)
+        return self._run_model_pass_rolling(store_path, targets)
+
+    def _run_model_pass_rolling(self, store_path: str,
+                                targets: Dict[str, Dict]):
+        mgr = self.mgr
+        (params, forward, read_patch, positions, patch, in_shape, wmap,
+         batch_size) = self._setup_model_pass(targets)
+
+        # exists-guard (reference: inference.py:70-74)
+        if os.path.isdir(store_path):
+            raise FileExistsError(
+                f"Zarr store '{store_path}' already exists. "
+                "Aborting to prevent overwrite (pass --resume to continue "
+                "an interrupted run).")
+
+        # sum/count stores per target (reference: inference.py:76-113)
+        accums: Dict[str, _RollingAccumulator] = {}
+        for name, info in targets.items():
+            c = int(info["channels"])
+            sum_vol, cnt_vol = _create_sum_count(store_path, name, c,
+                                                 in_shape, patch)
+            accums[name] = _RollingAccumulator(sum_vol, cnt_vol, c, in_shape,
+                                               patch[0])
+        self.max_slab_bytes = max(
+            self.max_slab_bytes,
+            self._rolling_slab_bytes(targets, in_shape, patch))
 
         # host pipeline: a thread pool reads/normalizes the NEXT batch while
         # the device runs the current one (the reference used DataLoader
@@ -304,7 +388,7 @@ class ZarrInferenceEngine:
                 nxt = b + window
                 if nxt < n_batches:
                     futs[nxt] = pool.submit(make_batch, nxt)
-                dev_out = forward(params, jnp.asarray(host_batch))
+                dev_out = forward(params, host_batch)
                 if pending_dev is not None:
                     self._drain(pending_dev, targets, accums, wmap)
                     done += len(pending_dev[0])
@@ -327,6 +411,152 @@ class ZarrInferenceEngine:
             for name in targets:
                 pred = np.moveaxis(weighted[name][i], -1, 0)  # (C,pz,py,px)
                 accums[name].add(z, y, x, pred, wmap)
+
+    # ------------------------------------------------------------------
+    # tiled model pass: host-RAM-bounded + resumable
+    # ------------------------------------------------------------------
+    def _run_model_pass_tiled(self, store_path: str, targets: Dict[str, Dict],
+                              budget: int):
+        """Process the volume as DISJOINT (z-block, y-band) tiles, each
+        accumulated wholly in RAM and written with plain (non-RMW) writes.
+
+        Properties that the rolling path cannot offer:
+        * peak slab memory = one tile, sized to ``host_ram_budget_gb`` —
+          scroll-scale planes (8k x 8k and up) never materialize in full;
+        * idempotent tiles: a crash loses only the current tile, and
+          ``--resume`` continues from the per-tile watermark
+          (``.model_pass_progress.json``) with bit-identical results.
+
+        Patches whose extent crosses a tile boundary are re-run for each tile
+        they touch (only their intersecting slice is accumulated); tiles are
+        sized >> patch so the duplicated forward fraction stays small.
+        """
+        mgr = self.mgr
+        (params, forward, read_patch, positions, patch, in_shape, wmap,
+         batch_size) = self._setup_model_pass(targets)
+        zmax, ymax, xmax = in_shape
+        pz, py, px = patch
+
+        # tile shape: z-block of 2 patches, y-band sized to the budget
+        chans = sum(int(i["channels"]) + 1 for i in targets.values())
+        tz = min(zmax, 2 * pz)
+        band = budget // (chans * 4 * tz * xmax)
+        band = max(py, min(ymax, int(band)))
+        tiles = [(z0, min(z0 + tz, zmax), y0, min(y0 + band, ymax))
+                 for z0 in range(0, zmax, tz)
+                 for y0 in range(0, ymax, band)]
+
+        progress_path = os.path.join(store_path, ".model_pass_progress.json")
+        done_tiles = set()
+        if self.resume and os.path.exists(progress_path):
+            import json
+            with open(progress_path) as f:
+                prog = json.load(f)
+            if prog.get("grid") != [list(in_shape), list(patch),
+                                    mgr.infer_overlap]:
+                raise ValueError(
+                    "--resume: existing progress file was written for a "
+                    "different volume/patch/overlap configuration")
+            done_tiles = {tuple(t) for t in prog.get("tiles_done", [])}
+            print(f"[infer] resuming: {len(done_tiles)}/{len(tiles)} tiles "
+                  f"already complete")
+        elif os.path.isdir(store_path):
+            raise FileExistsError(
+                f"Zarr store '{store_path}' already exists. "
+                "Aborting to prevent overwrite (pass --resume to continue "
+                "an interrupted run).")
+
+        vols = {}
+        for name, info in targets.items():
+            c = int(info["channels"])
+            vols[name] = _create_sum_count(store_path, name, c, in_shape,
+                                           patch, open_existing=self.resume)
+
+        def _write_progress():
+            import json
+            tmp = progress_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"grid": [list(in_shape), list(patch),
+                                    mgr.infer_overlap],
+                           "tiles_done": sorted(done_tiles)}, f)
+            os.replace(tmp, progress_path)
+
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(
+            max_workers=max(1, mgr.infer_num_dataloader_workers))
+        try:
+            for tile in tiles:
+                tz0, tz1, ty0, ty1 = tile
+                if tile in done_tiles:
+                    continue
+                tile_pos = [p for p in positions
+                            if p[0] < tz1 and p[0] + pz > tz0
+                            and p[1] < ty1 and p[1] + py > ty0]
+                slabs = {}
+                slab_bytes = 0
+                for name, info in targets.items():
+                    c = int(info["channels"])
+                    s = np.zeros((c, tz1 - tz0, ty1 - ty0, xmax), np.float32)
+                    cn = np.zeros((tz1 - tz0, ty1 - ty0, xmax), np.float32)
+                    slabs[name] = (s, cn)
+                    slab_bytes += s.nbytes + cn.nbytes
+                self.max_slab_bytes = max(self.max_slab_bytes, slab_bytes)
+
+                n_batches = (len(tile_pos) + batch_size - 1) // batch_size
+
+                def make_batch(b):
+                    bp = tile_pos[b * batch_size:(b + 1) * batch_size]
+                    arrs = [read_patch(p) for p in bp]
+                    while len(arrs) < batch_size:
+                        arrs.append(arrs[-1])
+                    return bp, np.stack(arrs)
+
+                window = 3
+                futs = {b: pool.submit(make_batch, b)
+                        for b in range(min(window, n_batches))}
+                for b in range(n_batches):
+                    bp, host_batch = futs.pop(b).result()
+                    if b + window < n_batches:
+                        futs[b + window] = pool.submit(make_batch, b + window)
+                    weighted = jax.device_get(forward(params, host_batch))
+                    for i, (z, y, x) in enumerate(bp):
+                        iz0, iz1 = max(z, tz0), min(z + pz, tz1)
+                        iy0, iy1 = max(y, ty0), min(y + py, ty1)
+                        wsl = np.s_[iz0 - z:iz1 - z, iy0 - y:iy1 - y, :]
+                        ssl = np.s_[iz0 - tz0:iz1 - tz0,
+                                    iy0 - ty0:iy1 - ty0, x:x + px]
+                        for name in targets:
+                            pred = np.moveaxis(weighted[name][i], -1, 0)
+                            s, cn = slabs[name]
+                            s[(slice(None),) + ssl] += pred[(slice(None),) + wsl]
+                            cn[ssl] += wmap[wsl]
+
+                # plain writes into the tile's exclusive region (idempotent)
+                futs_w = []
+                for name, info in targets.items():
+                    c = int(info["channels"])
+                    sum_vol, cnt_vol = vols[name]
+                    s, cn = slabs[name]
+                    region = np.s_[tz0:tz1, ty0:ty1]
+                    if c == 1:
+                        futs_w.append(sum_vol.write_async(region, s[0]))
+                    else:
+                        futs_w.append(sum_vol.write_async(
+                            (slice(None),) + region, s))
+                    futs_w.append(cnt_vol.write_async(region, cn))
+                for f in futs_w:
+                    f.result()
+                done_tiles.add(tile)
+                _write_progress()
+                print(f"[infer] tile z[{tz0}:{tz1}] y[{ty0}:{ty1}]: "
+                      f"{len(tile_pos)} patches "
+                      f"({len(done_tiles)}/{len(tiles)} tiles)")
+                if self.tile_callback is not None:
+                    self.tile_callback(tile)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+        print(f"[infer] tiled model pass complete: {len(tiles)} tiles -> "
+              f"{store_path}")
 
 
 # ----------------------------------------------------------------------
