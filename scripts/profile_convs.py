@@ -97,24 +97,16 @@ def main():
             f_pal = jax.jit(conv3d_small_c)
             t_pal = timeit(f_pal, x, w)
 
-        # dW: gy (b, out_sp, cout); XLA reverse conv vs banded dw kernel
+        # dW: gy (b, out_sp, cout); honest XLA dW via jax.grad (operands are
+        # ARGUMENTS, not closure constants — constants ship in the compile
+        # request and overflow the axon tunnel's body limit)
         gy = jax.random.normal(key, (b,) + out_sp + (cout,), jnp.bfloat16)
 
-        def xla_dw(x, gy):
-            return lax.conv_general_dilated(
-                jnp.moveaxis(x, 0, -1).reshape(sp + (b * cin,))[None] if False
-                else x.transpose(4, 1, 2, 3, 0),  # IDHWN as "batch"=cin
-                gy.transpose(1, 2, 3, 0, 4),      # DHWNO
-                (1, 1, 1), pad,
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                preferred_element_type=jnp.float32)
-
-        # simpler honest XLA dW: use jax.grad on the conv
-        def loss_w(w):
+        def loss_w(w, x, gy):
             return jnp.sum(xla_conv(x, w).astype(jnp.float32) *
                            gy.astype(jnp.float32))
         f_xla_dw = jax.jit(jax.grad(loss_w))
-        t_xla_dw = timeit(f_xla_dw, w)
+        t_xla_dw = timeit(f_xla_dw, w, x, gy)
 
         t_pal_dw = float("nan")
         if st == 1 and cin == cout and is_supported(x.shape, w.shape):
