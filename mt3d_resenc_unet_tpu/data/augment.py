@@ -39,16 +39,47 @@ from scipy import ndimage as ndi
 # intensity transforms (image only, float volume roughly in [0, 1])
 # ----------------------------------------------------------------------
 
+# The reference composes each transform with albumentations DEFAULT
+# parameters (dataset.py:176-191 passes no kwargs). The ranges below mirror
+# the albumentations-2.x defaults the reference therefore runs with; any
+# deliberate divergence is called out on the function. Pinned by
+# tests/test_augment.py::test_parameter_ranges_pinned.
+
+# albumentations RandomBrightnessContrast defaults:
+# brightness_limit=0.2, contrast_limit=0.2
+BRIGHTNESS_LIMIT = (-0.2, 0.2)
+CONTRAST_LIMIT = (-0.2, 0.2)
+# albumentations Illumination defaults: intensity_range=(0.01, 0.2)
+ILLUMINATION_INTENSITY = (0.01, 0.2)
+# albumentations MultiplicativeNoise defaults: multiplier=(0.9, 1.1),
+# elementwise=False (one factor per image)
+MULT_NOISE_RANGE = (0.9, 1.1)
+# albumentations GaussNoise defaults: std_range=(0.2, 0.44) RELATIVE to the
+# value range — far stronger than useful for CT slices; we deliberately use
+# (0.01, 0.05) absolute on [0,1] data (divergence, documented)
+GAUSS_NOISE_STD = (0.01, 0.05)
+# albumentations MotionBlur default blur_limit=7 -> odd kernels in [3, 7]
+MOTION_BLUR_KERNELS = (3, 5, 7)
+# albumentations Defocus defaults: radius=(3, 10)
+DEFOCUS_RADIUS = (3, 10)
+# albumentations Downscale defaults: scale_range=(0.25, 0.25)
+DOWNSCALE_RANGE = (0.25, 0.25)
+# albumentations AdvancedBlur defaults: sigma_x/y range (0.2, 1.0)
+# (we apply the Gaussian directly instead of a truncated kernel)
+ADVANCED_BLUR_SIGMA = (0.2, 1.0)
+
+
 def brightness_contrast(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    alpha = 1.0 + rng.uniform(-0.2, 0.2)   # contrast
-    beta = rng.uniform(-0.2, 0.2)          # brightness
+    alpha = 1.0 + rng.uniform(*CONTRAST_LIMIT)   # contrast
+    beta = rng.uniform(*BRIGHTNESS_LIMIT)        # brightness
     return np.clip(x * alpha + beta, 0.0, 1.0)
 
 
 def illumination(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Smooth multiplicative gradient along a random axis."""
+    """Smooth multiplicative gradient along a random axis (the linear mode of
+    albumentations Illumination)."""
     axis = int(rng.integers(0, 3))
-    strength = rng.uniform(0.05, 0.2)
+    strength = rng.uniform(*ILLUMINATION_INTENSITY)
     n = x.shape[axis]
     ramp = np.linspace(-strength, strength, n, dtype=np.float32)
     if rng.random() < 0.5:
@@ -59,12 +90,12 @@ def illumination(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
 
 def multiplicative_noise(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    factor = rng.uniform(0.9, 1.1)
+    factor = rng.uniform(*MULT_NOISE_RANGE)
     return np.clip(x * factor, 0.0, 1.0)
 
 
 def gaussian_noise(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    std = rng.uniform(0.01, 0.05)
+    std = rng.uniform(*GAUSS_NOISE_STD)
     return np.clip(x + rng.normal(0.0, std, size=x.shape).astype(np.float32),
                    0.0, 1.0)
 
@@ -82,7 +113,7 @@ def _filter2d_slices(x: np.ndarray, kernel: np.ndarray) -> np.ndarray:
 
 
 def motion_blur(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    k = int(rng.integers(3, 8)) | 1
+    k = int(MOTION_BLUR_KERNELS[int(rng.integers(0, len(MOTION_BLUR_KERNELS)))])
     kernel = np.zeros((k, k), np.float32)
     angle = rng.uniform(0, np.pi)
     c = (k - 1) / 2
@@ -96,7 +127,7 @@ def motion_blur(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
 
 def defocus(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    radius = int(rng.integers(2, 5))
+    radius = int(rng.integers(DEFOCUS_RADIUS[0], DEFOCUS_RADIUS[1] + 1))
     k = 2 * radius + 1
     yy, xx = np.mgrid[-radius:radius + 1, -radius:radius + 1]
     kernel = ((yy ** 2 + xx ** 2) <= radius ** 2).astype(np.float32)
@@ -105,7 +136,7 @@ def defocus(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
 
 def downscale(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    scale = rng.uniform(0.25, 0.5)
+    scale = rng.uniform(*DOWNSCALE_RANGE)
     h, w = x.shape[1], x.shape[2]
     nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
     out = np.empty_like(x)
@@ -123,8 +154,8 @@ def downscale(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
 
 def advanced_blur(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    sy = rng.uniform(0.2, 1.5)
-    sx = rng.uniform(0.2, 1.5)
+    sy = rng.uniform(*ADVANCED_BLUR_SIGMA)
+    sx = rng.uniform(*ADVANCED_BLUR_SIGMA)
     return ndi.gaussian_filter(x, sigma=(0.0, sy, sx), mode="reflect")
 
 

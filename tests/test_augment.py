@@ -102,3 +102,44 @@ def test_pipeline_image_only_intensity(rng):
     np.testing.assert_array_equal(out["sheet"], lbl)      # labels untouched
     np.testing.assert_array_equal(out["normals"], normals)
     assert not np.allclose(out["image"][..., 0], phi)      # image changed
+
+
+def test_parameter_ranges_pinned():
+    """The intensity-transform magnitudes mirror the albumentations DEFAULTS
+    the reference composes with (dataset.py:176-191 passes no kwargs);
+    deliberate divergences are the documented constants here."""
+    from mt3d_resenc_unet_tpu.data import augment as A
+
+    assert A.BRIGHTNESS_LIMIT == (-0.2, 0.2)
+    assert A.CONTRAST_LIMIT == (-0.2, 0.2)
+    assert A.ILLUMINATION_INTENSITY == (0.01, 0.2)
+    assert A.MULT_NOISE_RANGE == (0.9, 1.1)
+    assert A.MOTION_BLUR_KERNELS == (3, 5, 7)
+    assert A.DEFOCUS_RADIUS == (3, 10)
+    assert A.DOWNSCALE_RANGE == (0.25, 0.25)
+    assert A.ADVANCED_BLUR_SIGMA == (0.2, 1.0)
+    # documented divergence: absolute gaussian-noise std, not albumentations'
+    # relative (0.2, 0.44)
+    assert A.GAUSS_NOISE_STD == (0.01, 0.05)
+
+
+def test_intensity_distribution_sanity(rng):
+    """Each intensity transform keeps [0,1] data bounded and actually
+    perturbs it; multiplicative noise stays within its pinned envelope."""
+    from mt3d_resenc_unet_tpu.data import augment as A
+
+    x = rng.random((8, 16, 16)).astype(np.float32)
+    for fn in (A.brightness_contrast, A.illumination, A.multiplicative_noise,
+               A.gaussian_noise, A.motion_blur, A.defocus, A.downscale,
+               A.advanced_blur):
+        y = fn(x, np.random.default_rng(0))
+        assert y.shape == x.shape, fn.__name__
+        assert np.isfinite(y).all(), fn.__name__
+        assert y.min() >= -1e-6 and y.max() <= 1.0 + 1e-6 or fn in (
+            A.motion_blur, A.defocus, A.downscale, A.advanced_blur), fn.__name__
+        assert not np.allclose(y, x), fn.__name__
+    # multiplicative noise: exact envelope
+    for seed in range(20):
+        y = A.multiplicative_noise(x, np.random.default_rng(seed))
+        ratio = y[x > 0.2] / x[x > 0.2]
+        assert (ratio >= 0.9 - 1e-6).all() and (ratio <= 1.1 + 1e-6).all()
