@@ -183,6 +183,17 @@ def main():
           f"model_tflops_per_sec={tflops:.1f} "
           f"mfu={100 * util:.1f}% (peak {V5E_PEAK_BF16_TFLOPS:.0f} TF/s bf16)",
           file=sys.stderr)
+    # inference throughput (eval forward + on-device Gaussian weighting) as
+    # an extra field of the same single JSON line (BASELINE.md voxels/sec)
+    infer_vps = None
+    try:
+        infer_vps = run_infer_bench(max(used_batch, 2), patch, steps=8,
+                                    warmup=2)
+        print(f"[bench] infer_voxels_per_sec={infer_vps:.3e}",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] infer bench skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "train_patches_per_sec_per_chip_128cubed",
         "value": round(per_chip, 3),
@@ -190,6 +201,8 @@ def main():
         "vs_baseline": round(per_chip / ESTIMATED_A100_PATCHES_PER_SEC, 3),
         "model_tflops_per_sec": round(tflops, 1),
         "mfu": round(util, 4),
+        "infer_voxels_per_sec": (round(infer_vps, 1)
+                                 if infer_vps is not None else None),
     }))
 
 

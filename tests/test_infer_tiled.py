@@ -136,3 +136,30 @@ def test_fresh_run_still_guards_overwrite(setup, tmp_path):
     ZarrInferenceEngine(config_dict=cfg).infer()
     with pytest.raises(FileExistsError):
         ZarrInferenceEngine(config_dict=cfg).infer()
+
+
+def test_sharded_forward_matches_single_device(setup, tmp_path, monkeypatch):
+    """The mesh-sharded inference forward (8 virtual devices here) produces
+    the same outputs as a single-device run of the identical engine."""
+    import jax as _jax
+    from mt3d_resenc_unet_tpu.infer import engine as engine_mod
+
+    assert len(_jax.devices()) == 8  # conftest forces the virtual CPU mesh
+    eng_multi = ZarrInferenceEngine(config_dict=_cfg(setup, tmp_path / "m"))
+    store_m = eng_multi.infer()
+
+    dev0 = _jax.devices()[0]
+    monkeypatch.setattr(engine_mod.jax, "devices", lambda: [dev0])
+    try:
+        eng_single = ZarrInferenceEngine(
+            config_dict=_cfg(setup, tmp_path / "s"))
+        store_s = eng_single.infer()
+    finally:
+        monkeypatch.undo()
+
+    for ds in ("sheet_sum", "sheet_count", "sheet_final"):
+        a = open_zarr(os.path.join(store_m, ds)).read_all()
+        b = open_zarr(os.path.join(store_s, ds)).read_all()
+        np.testing.assert_allclose(a.astype(np.float32),
+                                   b.astype(np.float32), atol=2e-4,
+                                   err_msg=ds)
