@@ -27,11 +27,14 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.gemm_conv import (conv3d_im2col, conv3d_tapsum, im2col_supported,
+                             tapsum_supported)
 from ..ops.instance_norm import (_instance_norm_act_impl,
                                  instance_norm_act_packed,
                                  instance_norm_act_packed_io)
-from ..ops.pallas_conv import (conv3d_packed, conv3d_small_c,
-                               is_supported as _pallas_conv_ok)
+from ..ops.pallas_conv import (conv3d_packed, conv3d_s2, conv3d_small_c,
+                               is_supported as _pallas_conv_ok,
+                               s2_supported as _pallas_s2_ok)
 
 Dtype = jnp.dtype
 
@@ -75,6 +78,9 @@ class Conv(nn.Module):
                 if self.use_bias else None)
         x = x.astype(self.dtype)
         k = kernel.astype(self.dtype)
+        nd = len(self.kernel_size)
+        same_pad = all(p == ((kk - 1) // 2,) * 2
+                       for p, kk in zip(self.padding, self.kernel_size))
         fast = (
             self.use_pallas
             and all(s == 1 for s in self.strides)
@@ -83,8 +89,16 @@ class Conv(nn.Module):
         )
         if fast:
             y = conv3d_small_c(x, k)
+        elif (self.use_pallas and tuple(self.strides) == (2, 2, 2)
+                and all(p == (1, 1) for p in self.padding)
+                and _pallas_s2_ok(x.shape, kshape)):
+            # banded stride-2 kernel for the encoder's downsampling convs
+            y = conv3d_s2(x, k)
+        elif (self.use_pallas and nd == 3 and same_pad
+                and tapsum_supported(x.shape, kshape)):
+            # deep stages (>=256 ch at small extents): 27 accumulated GEMMs
+            y = conv3d_tapsum(x, k, tuple(self.strides))
         else:
-            nd = len(self.kernel_size)
             spec = ("NDHWC", "DHWIO", "NDHWC") if nd == 3 else \
                 ("NHWC", "HWIO", "NHWC")
             y = jax.lax.conv_general_dilated(

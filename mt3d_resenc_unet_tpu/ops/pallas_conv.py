@@ -416,6 +416,466 @@ def _ref_conv(x, w):
         preferred_element_type=x.dtype)
 
 
+# ----------------------------------------------------------------------
+# stride-2 banded kernels: the encoder's downsampling convs
+# ----------------------------------------------------------------------
+# For stride 2 / kernel 3 the packing factors halve across the op:
+# g_in = 2 * g_out, and with the channel-doubling schedule of the ResEnc
+# encoder (32->64 at 128^3, 64->128 at 64^3 — reference resblocks.py:15-132
+# with the stride plan of build_network_from_config.py:47-53) BOTH the packed
+# input (g_in*ci) and packed output (g_out*co) fill exactly 128 lanes.
+# Output offset s reads input offsets {2s-1, 2s, 2s+1}: only a LEFT halo
+# exists (the last position of the previous group feeds s=0 at tap 0); the
+# right edge never crosses the group boundary.
+# The D/H strides use a parity-split scratch: the padded input is viewed as
+# (..., (D+2)/2, 2, (H+2)/2, 2, ...) so every tap (dz, dy) maps to a
+# CONTIGUOUS leading-dim slice (d0:d0+bd, parity) — no strided VMEM access.
+
+
+def s2_supported(x_shape, w_shape) -> bool:
+    if len(x_shape) != 5 or len(w_shape) != 5:
+        return False
+    kd, kh, kw, ci, co = w_shape
+    if (kd, kh, kw) != (3, 3, 3) or 128 % co:
+        return False
+    g_out = 128 // co
+    g_in = 2 * g_out
+    if g_in * ci != 128:
+        return False
+    n, d, h, w, c = x_shape
+    return (c == ci and d % 2 == 0 and h % 2 == 0 and w % g_in == 0
+            and w // g_in >= 1 and d >= 4 and h >= 4)
+
+
+def build_banded_weights_s2(w: jax.Array, g_out: int):
+    """(3,3,3,ci,co) -> B_mid (3,3,g_in*ci,g_out*co), B_left (3,3,ci,g_out*co)
+    with B_mid[(xofs, ci), (s, co)] = W[.., xofs - 2s + 1] (XLA ops only)."""
+    kd, kh, kw, ci, co = w.shape
+    g_in = 2 * g_out
+    zeros = jnp.zeros_like(w[:, :, 0])
+    mid_cols = []
+    for s in range(g_out):
+        taps = []
+        for xofs in range(g_in):
+            t = xofs - 2 * s + 1
+            taps.append(w[:, :, t] if 0 <= t < kw else zeros)
+        mid_cols.append(jnp.stack(taps, axis=2))   # (3,3,g_in,ci,co)
+    b_mid = jnp.stack(mid_cols, axis=4)            # (3,3,g_in,ci,g_out,co)
+    b_mid = b_mid.reshape(kd, kh, g_in * ci, g_out * co)
+    left_cols = [w[:, :, 0] if s == 0 else zeros for s in range(g_out)]
+    b_left = jnp.stack(left_cols, axis=3).reshape(kd, kh, ci, g_out * co)
+    return b_mid, b_left
+
+
+# tap -> (leading-group offset, parity) in the parity-split scratch:
+# padded input row for output do at tap dz is 2*do + dz = 2*(do + (dz==2)) + dz%2
+_S2_SEL = {0: (0, 0), 1: (0, 1), 2: (1, 0)}
+
+
+def _pick_tile_s2(od: int, oh: int, wga: int, lanes: int, itemsize: int,
+                  budget_bytes: int = (5 << 20) // 2) -> Tuple[int, int]:
+    row_bytes = wga * lanes * itemsize
+
+    def fits(bd, bh):
+        return (bd + 1) * 2 * (bh + 1) * 2 * row_bytes <= budget_bytes
+
+    best = (1, 1)
+    for bd in [x for x in (16, 12, 8, 6, 4, 2, 1) if od % x == 0]:
+        for bh in [x for x in (16, 12, 8, 6, 4, 2, 1) if oh % x == 0]:
+            if fits(bd, bh) and bd * bh > best[0] * best[1]:
+                best = (bd, bh)
+    return best
+
+
+def _s2_fwd_kernel(x_hbm, bm_ref, bl_ref, y_ref, x_s0, x_s1, sem, *,
+                   ci: int, bd: int, bh: int):
+    ni = pl.program_id(0)
+    di = pl.program_id(1)
+    hi = pl.program_id(2)
+    nd = pl.num_programs(1)
+    nh = pl.num_programs(2)
+    gci = x_s0.shape[-1]
+    gco = y_ref.shape[4]
+    wg = y_ref.shape[3]
+    m = bd * bh * wg
+    dn = (((1,), (0,)), ((), ()))
+
+    def tile_dma(buf, sl, a, b, c):
+        return pltpu.make_async_copy(
+            x_hbm.at[a, pl.ds(b * bd, bd + 1), slice(None),
+                     pl.ds(c * bh, bh + 1)],
+            buf, sem.at[sl])
+
+    k = (ni * nd + di) * nh + hi
+    total = pl.num_programs(0) * nd * nh
+
+    @pl.when(k == 0)
+    def _():
+        tile_dma(x_s0, 0, ni, di, hi).start()
+
+    nk = k + 1
+    n_ni = nk // (nd * nh)
+    rem = nk % (nd * nh)
+    n_di = rem // nh
+    n_hi = rem % nh
+
+    @pl.when((nk < total) & (nk % 2 == 0))
+    def _():
+        tile_dma(x_s0, 0, n_ni, n_di, n_hi).start()
+
+    @pl.when((nk < total) & (nk % 2 == 1))
+    def _():
+        tile_dma(x_s1, 1, n_ni, n_di, n_hi).start()
+
+    def compute(x_s):
+        acc = jnp.zeros((m, gco), jnp.float32)
+        for dz in range(3):
+            d0, pd = _S2_SEL[dz]
+            for dy in range(3):
+                h0, ph = _S2_SEL[dy]
+                rows = x_s[d0:d0 + bd, pd, h0:h0 + bh, ph]
+                mid = rows[:, :, 1:wg + 1, :].reshape(m, gci)
+                acc += lax.dot_general(mid, bm_ref[dz, dy], dn,
+                                       preferred_element_type=jnp.float32)
+                left = rows[:, :, 0:wg, gci - ci:gci].reshape(m, ci)
+                acc += lax.dot_general(left, bl_ref[dz, dy], dn,
+                                       preferred_element_type=jnp.float32)
+        y_ref[0] = acc.reshape(bd, bh, wg, gco).astype(y_ref.dtype)
+
+    @pl.when(k % 2 == 0)
+    def _():
+        tile_dma(x_s0, 0, ni, di, hi).wait()
+        compute(x_s0)
+
+    @pl.when(k % 2 == 1)
+    def _():
+        tile_dma(x_s1, 1, ni, di, hi).wait()
+        compute(x_s1)
+
+
+def _s2_prepare_input(xp: jax.Array):
+    """Pad (halo 1 in D/H, one packed group left in x, alignment tail) and
+    reshape to the parity-split view (N, (D+2)/2, 2, (H+2)/2, 2, wga, gci)."""
+    n, d, h, wg, gci = xp.shape
+    sub = 16 if xp.dtype == jnp.bfloat16 else 8
+    wga = ((wg + 1 + sub - 1) // sub) * sub
+    xpp = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (1, wga - (wg + 1)), (0, 0)))
+    xv = xpp.reshape(n, (d + 2) // 2, 2, (h + 2) // 2, 2, wga, gci)
+    return xv, wga
+
+
+def _conv3d_s2_packed_impl(xp: jax.Array, w: jax.Array, g_out: int) -> jax.Array:
+    n, d, h, wg, gci = xp.shape
+    g_in = 2 * g_out
+    ci = gci // g_in
+    co = w.shape[-1]
+    gco = g_out * co
+    od, oh = d // 2, h // 2
+    xv, wga = _s2_prepare_input(xp)
+    bd, bh = _pick_tile_s2(od, oh, wga, gci, xp.dtype.itemsize)
+    b_mid, b_left = build_banded_weights_s2(w.astype(xp.dtype), g_out)
+
+    kernel = functools.partial(_s2_fwd_kernel, ci=ci, bd=bd, bh=bh)
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda ni, di, hi: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, od // bd, oh // bh),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            const_spec((3, 3, gci, gco)),
+            const_spec(b_left.shape),
+        ],
+        out_specs=pl.BlockSpec((1, bd, bh, wg, gco),
+                               lambda ni, di, hi: (ni, di, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, od, oh, wg, gco), xp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bd + 1, 2, bh + 1, 2, wga, gci), xp.dtype),
+            pltpu.VMEM((bd + 1, 2, bh + 1, 2, wga, gci), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(xv, b_mid, b_left)
+
+
+def _s2_dw_kernel(x_hbm, gy_ref, dbm_ref, dbl_ref,
+                  x_s0, x_s1, sem, acc_m, acc_l, *,
+                  ci: int, bd: int, bh: int):
+    ni = pl.program_id(0)
+    di = pl.program_id(1)
+    hi = pl.program_id(2)
+    nd = pl.num_programs(1)
+    nh = pl.num_programs(2)
+    gci = x_s0.shape[-1]
+    gco = gy_ref.shape[4]
+    wg = gy_ref.shape[3]
+    m = bd * bh * wg
+    dn = (((0,), (0,)), ((), ()))   # contract over spatial rows
+
+    def tile_dma(buf, sl, a, b, c):
+        return pltpu.make_async_copy(
+            x_hbm.at[a, pl.ds(b * bd, bd + 1), slice(None),
+                     pl.ds(c * bh, bh + 1)],
+            buf, sem.at[sl])
+
+    k = (ni * nd + di) * nh + hi
+    total = pl.num_programs(0) * nd * nh
+
+    @pl.when(k == 0)
+    def _():
+        tile_dma(x_s0, 0, ni, di, hi).start()
+        acc_m[...] = jnp.zeros_like(acc_m)
+        acc_l[...] = jnp.zeros_like(acc_l)
+
+    nk = k + 1
+    n_ni = nk // (nd * nh)
+    rem = nk % (nd * nh)
+    n_di = rem // nh
+    n_hi = rem % nh
+
+    @pl.when((nk < total) & (nk % 2 == 0))
+    def _():
+        tile_dma(x_s0, 0, n_ni, n_di, n_hi).start()
+
+    @pl.when((nk < total) & (nk % 2 == 1))
+    def _():
+        tile_dma(x_s1, 1, n_ni, n_di, n_hi).start()
+
+    gy = gy_ref[0].reshape(m, gco)
+
+    def accumulate(x_s):
+        for dz in range(3):
+            d0, pd = _S2_SEL[dz]
+            for dy in range(3):
+                h0, ph = _S2_SEL[dy]
+                rows = x_s[d0:d0 + bd, pd, h0:h0 + bh, ph]
+                mid = rows[:, :, 1:wg + 1, :].reshape(m, gci)
+                acc_m[dz, dy] += lax.dot_general(
+                    mid, gy, dn, preferred_element_type=jnp.float32)
+                left = rows[:, :, 0:wg, gci - ci:gci].reshape(m, ci)
+                acc_l[dz, dy] += lax.dot_general(
+                    left, gy, dn, preferred_element_type=jnp.float32)
+
+    @pl.when(k % 2 == 0)
+    def _():
+        tile_dma(x_s0, 0, ni, di, hi).wait()
+        accumulate(x_s0)
+
+    @pl.when(k % 2 == 1)
+    def _():
+        tile_dma(x_s1, 1, ni, di, hi).wait()
+        accumulate(x_s1)
+
+    @pl.when(k == total - 1)
+    def _():
+        dbm_ref[...] = acc_m[...]
+        dbl_ref[...] = acc_l[...]
+
+
+def _conv3d_s2_dw_impl(xp: jax.Array, gyp: jax.Array, g_out: int,
+                       w_shape) -> jax.Array:
+    n, d, h, wg, gci = xp.shape
+    g_in = 2 * g_out
+    ci = gci // g_in
+    co = w_shape[-1]
+    gco = g_out * co
+    od, oh = d // 2, h // 2
+    xv, wga = _s2_prepare_input(xp)
+    bd, bh = _pick_tile_s2(od, oh, wga, gci, xp.dtype.itemsize)
+
+    kernel = functools.partial(_s2_dw_kernel, ci=ci, bd=bd, bh=bh)
+    out_spec = lambda shape: pl.BlockSpec(
+        shape, lambda ni, di, hi: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+    dbm, dbl = pl.pallas_call(
+        kernel,
+        grid=(n, od // bd, oh // bh),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, bd, bh, wg, gco),
+                         lambda ni, di, hi: (ni, di, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec((3, 3, gci, gco)), out_spec((3, 3, ci, gco))),
+        out_shape=(jax.ShapeDtypeStruct((3, 3, gci, gco), jnp.float32),
+                   jax.ShapeDtypeStruct((3, 3, ci, gco), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((bd + 1, 2, bh + 1, 2, wga, gci), xp.dtype),
+            pltpu.VMEM((bd + 1, 2, bh + 1, 2, wga, gci), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3, 3, gci, gco), jnp.float32),
+            pltpu.VMEM((3, 3, ci, gco), jnp.float32),
+        ],
+    )(xv, gyp)
+
+    # recover dW: sum the band positions replicating each tap (the linear
+    # transpose of build_banded_weights_s2)
+    dw = jnp.zeros((3, 3, 3, ci, co), jnp.float32)
+    dbm = dbm.reshape(3, 3, g_in, ci, g_out, co)
+    for s in range(g_out):
+        for xofs in range(g_in):
+            t = xofs - 2 * s + 1
+            if 0 <= t < 3:
+                dw = dw.at[:, :, t].add(dbm[:, :, xofs, :, s])
+    dbl = dbl.reshape(3, 3, ci, g_out, co)
+    dw = dw.at[:, :, 0].add(dbl[:, :, :, 0])
+    return dw
+
+
+# dx of the stride-2 conv: a fractionally-strided (transposed) banded kernel.
+# dx row r receives gy rows by parity: r=2q   -> gy[q]   via tap dz=1
+#                                      r=2q+1 -> gy[q+1] via dz=0, gy[q] via dz=2
+# and in x only a RIGHT gy halo exists (transpose of the forward's left).
+_S2_DX_TAPS = {0: ((1, 0),), 1: ((0, 1), (2, 0))}
+
+
+def _s2_dx_kernel(gy_hbm, bmt_ref, brt_ref, dx_ref, g_s0, g_s1, sem, *,
+                  co: int, bd: int, bh: int):
+    ni = pl.program_id(0)
+    di = pl.program_id(1)
+    hi = pl.program_id(2)
+    nd = pl.num_programs(1)
+    nh = pl.num_programs(2)
+    gco = g_s0.shape[-1]
+    gci = dx_ref.shape[6]
+    wg = dx_ref.shape[5]
+    m = bd * bh * wg
+    dn = (((1,), (0,)), ((), ()))
+
+    def tile_dma(buf, sl, a, b, c):
+        return pltpu.make_async_copy(
+            gy_hbm.at[a, pl.ds(b * bd, bd + 1), pl.ds(c * bh, bh + 1)],
+            buf, sem.at[sl])
+
+    k = (ni * nd + di) * nh + hi
+    total = pl.num_programs(0) * nd * nh
+
+    @pl.when(k == 0)
+    def _():
+        tile_dma(g_s0, 0, ni, di, hi).start()
+
+    nk = k + 1
+    n_ni = nk // (nd * nh)
+    rem = nk % (nd * nh)
+    n_di = rem // nh
+    n_hi = rem % nh
+
+    @pl.when((nk < total) & (nk % 2 == 0))
+    def _():
+        tile_dma(g_s0, 0, n_ni, n_di, n_hi).start()
+
+    @pl.when((nk < total) & (nk % 2 == 1))
+    def _():
+        tile_dma(g_s1, 1, n_ni, n_di, n_hi).start()
+
+    def compute(g_s):
+        for pd in range(2):
+            for ph in range(2):
+                acc = jnp.zeros((m, gci), jnp.float32)
+                for dz, offd in _S2_DX_TAPS[pd]:
+                    for dy, offh in _S2_DX_TAPS[ph]:
+                        rows = g_s[offd:offd + bd, offh:offh + bh]
+                        mid = rows[:, :, 0:wg, :].reshape(m, gco)
+                        acc += lax.dot_general(
+                            mid, bmt_ref[dz, dy], dn,
+                            preferred_element_type=jnp.float32)
+                        right = rows[:, :, 1:wg + 1, 0:co].reshape(m, co)
+                        acc += lax.dot_general(
+                            right, brt_ref[dz, dy], dn,
+                            preferred_element_type=jnp.float32)
+                dx_ref[0, :, pd, :, ph] = acc.reshape(
+                    bd, bh, wg, gci).astype(dx_ref.dtype)
+
+    @pl.when(k % 2 == 0)
+    def _():
+        tile_dma(g_s0, 0, ni, di, hi).wait()
+        compute(g_s0)
+
+    @pl.when(k % 2 == 1)
+    def _():
+        tile_dma(g_s1, 1, ni, di, hi).wait()
+        compute(g_s1)
+
+
+def _conv3d_s2_dx_impl(gyp: jax.Array, w: jax.Array, g_out: int) -> jax.Array:
+    """gyp (N, OD, OH, wg, g_out*co) -> dxp (N, 2*OD, 2*OH, wg, g_in*ci)."""
+    n, od, oh, wg, gco = gyp.shape
+    co = w.shape[-1]
+    ci = w.shape[-2]
+    g_in = 2 * g_out
+    gci = g_in * ci
+    sub = 16 if gyp.dtype == jnp.bfloat16 else 8
+    wga = ((wg + 1 + sub - 1) // sub) * sub
+    # halo at the END of D/H (dz=0 reads gy[q+1]) and RIGHT of x
+    gypp = jnp.pad(gyp, ((0, 0), (0, 1), (0, 1), (0, wga - wg), (0, 0)))
+    bd, bh = _pick_tile_s2(od, oh, wga, gco, gyp.dtype.itemsize)
+
+    b_mid, b_left = build_banded_weights_s2(w.astype(gyp.dtype), g_out)
+    bmt = jnp.swapaxes(b_mid, 2, 3)                       # (3,3,gco,gci)
+    # right contribution: gy s=0 of group g+1 -> dx xofs = g_in-1 via tap 0
+    brt = jnp.zeros((3, 3, co, g_in, ci), gyp.dtype)
+    brt = brt.at[:, :, :, g_in - 1, :].set(
+        jnp.swapaxes(w[:, :, 0], 2, 3).astype(gyp.dtype))
+    brt = brt.reshape(3, 3, co, gci)
+
+    kernel = functools.partial(_s2_dx_kernel, co=co, bd=bd, bh=bh)
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda ni, di, hi: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+    dxv = pl.pallas_call(
+        kernel,
+        grid=(n, od // bd, oh // bh),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            const_spec((3, 3, gco, gci)),
+            const_spec((3, 3, co, gci)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bd, 2, bh, 2, wg, gci),
+            lambda ni, di, hi: (ni, di, 0, hi, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, od, 2, oh, 2, wg, gci),
+                                       gyp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bd + 1, bh + 1, wga, gco), gyp.dtype),
+            pltpu.VMEM((bd + 1, bh + 1, wga, gco), gyp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(gypp, bmt, brt)
+    return dxv.reshape(n, 2 * od, 2 * oh, wg, gci)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3d_s2_packed(xp: jax.Array, w: jax.Array, g_out: int) -> jax.Array:
+    """Stride-2 3x3x3 banded conv on packed io:
+    (N, D, H, W/g_in, g_in*ci) -> (N, D/2, H/2, W/g_in, g_out*co)."""
+    return _conv3d_s2_packed_impl(xp, w, g_out)
+
+
+def _s2_fwd_rule(xp, w, g_out):
+    return conv3d_s2_packed(xp, w, g_out), (xp, w)
+
+
+def _s2_bwd_rule(g_out, res, gyp):
+    xp, w = res
+    gyp = gyp.astype(xp.dtype)
+    dxp = _conv3d_s2_dx_impl(gyp, w, g_out)
+    dw = _conv3d_s2_dw_impl(xp, gyp, g_out, w.shape).astype(w.dtype)
+    return dxp, dw
+
+
+conv3d_s2_packed.defvjp(_s2_fwd_rule, _s2_bwd_rule)
+
+
+def conv3d_s2(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Unpacked-io stride-2 banded conv (packs/unpacks at the edges)."""
+    n, d, h, w_dim, ci = x.shape
+    co = w.shape[-1]
+    g_out = 128 // co
+    g_in = 2 * g_out
+    xp = x.reshape(n, d, h, w_dim // g_in, g_in * ci)
+    yp = conv3d_s2_packed(xp, w, g_out)
+    return yp.reshape(n, d // 2, h // 2, w_dim // 2, co)
+
+
 @jax.custom_vjp
 def conv3d_small_c(x: jax.Array, w: jax.Array) -> jax.Array:
     """3x3x3 stride-1 same-pad conv, NDHWC, for C in {16, 32, 64}."""

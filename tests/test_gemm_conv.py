@@ -1,0 +1,65 @@
+"""GEMM conv reformulations (ops/gemm_conv.py) vs lax.conv_general_dilated:
+forward and gradients must match exactly on every supported shape class."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mt3d_resenc_unet_tpu.ops.gemm_conv import (
+    conv3d_im2col, conv3d_tapsum, im2col_supported, tapsum_supported)
+
+
+def _ref(x, w, strides):
+    return lax.conv_general_dilated(
+        x, w, strides, tuple(((k - 1) // 2,) * 2 for k in w.shape[:3]),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x.dtype)
+
+
+def _case(fn, shape, cin, cout, strides, seed):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((2,) + shape + (cin,)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((3, 3, 3, cin, cout)).astype(np.float32) * 0.1)
+    y = fn(x, w, strides)
+    y_ref = _ref(x, w, strides)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # gradient parity (dx and dW through autodiff)
+    gy = jnp.asarray(rng.standard_normal(y.shape).astype(np.float32))
+
+    def loss(f, x, w):
+        return jnp.sum(f(x, w, strides) * gy)
+
+    gx, gw = jax.grad(lambda x, w: loss(fn, x, w), argnums=(0, 1))(x, w)
+    rx, rw = jax.grad(lambda x, w: loss(_ref, x, w), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_im2col_stem_stride1():
+    _case(conv3d_im2col, (8, 10, 12), 1, 32, (1, 1, 1), 0)
+
+
+def test_im2col_stride2():
+    _case(conv3d_im2col, (8, 8, 8), 1, 16, (2, 2, 2), 1)
+
+
+def test_tapsum_stride1():
+    _case(conv3d_tapsum, (6, 6, 6), 8, 16, (1, 1, 1), 2)
+
+
+def test_tapsum_stride2():
+    _case(conv3d_tapsum, (8, 8, 8), 8, 16, (2, 2, 2), 3)
+
+
+def test_dispatch_predicates():
+    assert im2col_supported((1, 8, 8, 8, 1), (3, 3, 3, 1, 32))
+    assert not im2col_supported((1, 8, 8, 8, 8), (3, 3, 3, 8, 32))
+    assert tapsum_supported((1, 16, 16, 16, 256), (3, 3, 3, 256, 256))
+    assert not tapsum_supported((1, 64, 64, 64, 256), (3, 3, 3, 256, 256))
+    assert not tapsum_supported((1, 16, 16, 16, 128), (3, 3, 3, 128, 128))

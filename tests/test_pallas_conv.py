@@ -103,3 +103,58 @@ def test_model_packed_path_matches_xla(rng):
     op = mp.apply(px, x, train=False)["sheet"]
     np.testing.assert_allclose(np.asarray(ox), np.asarray(op),
                                rtol=1e-4, atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# stride-2 banded kernel (downsampling convs)
+# ----------------------------------------------------------------------
+
+S2_CASES = [
+    ((2, 8, 8, 16, 32), 32, 64),    # g_out=2: the 32->64 downsample class
+    ((1, 8, 12, 8, 64), 64, 128),   # g_out=1: the 64->128 class
+    ((1, 4, 4, 32, 16), 16, 32),    # g_out=4
+]
+
+
+def _ref_s2(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (2, 2, 2), ((1, 1), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x.dtype)
+
+
+@pytest.mark.parametrize("x_shape,ci,co", S2_CASES)
+def test_s2_forward_matches_xla(x_shape, ci, co):
+    from mt3d_resenc_unet_tpu.ops.pallas_conv import conv3d_s2, s2_supported
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(x_shape).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((3, 3, 3, ci, co)).astype(np.float32) * 0.2)
+    assert s2_supported(x.shape, w.shape)
+    y = conv3d_s2(x, w)
+    y_ref = _ref_s2(x, w)
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("x_shape,ci,co", S2_CASES[:2])
+def test_s2_gradients_match_xla(x_shape, ci, co):
+    from mt3d_resenc_unet_tpu.ops.pallas_conv import conv3d_s2
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(x_shape).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((3, 3, 3, ci, co)).astype(np.float32) * 0.2)
+    gy = jnp.asarray(rng.standard_normal(
+        (x_shape[0], x_shape[1] // 2, x_shape[2] // 2, x_shape[3] // 2, co)
+    ).astype(np.float32))
+
+    def loss(f, x, w):
+        return jnp.sum(f(x, w) * gy)
+
+    gx, gw = jax.grad(lambda x, w: loss(conv3d_s2, x, w), (0, 1))(x, w)
+    rx, rw = jax.grad(lambda x, w: loss(_ref_s2, x, w), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=2e-3, atol=2e-3)
