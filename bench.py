@@ -27,7 +27,7 @@ import numpy as np
 ESTIMATED_A100_PATCHES_PER_SEC = 10.0
 
 
-def build(batch, patch, accum=1):
+def build(batch, patch, accum=1, remat=True):
     from mt3d_resenc_unet_tpu.core.plan import TaskHead, plan_from_autoconfig
     from mt3d_resenc_unet_tpu.models.network import ResEncUNet
     from mt3d_resenc_unet_tpu.train.losses import build_task_losses
@@ -39,7 +39,7 @@ def build(batch, patch, accum=1):
         tasks=[TaskHead("sheet", 1, "sigmoid"),
                TaskHead("normals", 3, "none")],
         model_name="bench",
-        use_pallas_conv=True)
+        use_pallas_conv=True, remat=remat)
     model = ResEncUNet(plan=plan, dtype=jnp.bfloat16)
     x = jnp.zeros((1,) + patch + (1,), jnp.float32)
     params = jax.jit(lambda: model.init(
@@ -77,8 +77,8 @@ def flagship_plan(patch):
         model_name="bench", use_pallas_conv=True)
 
 
-def run_bench(batch, patch, steps, warmup):
-    state, step, data = build(batch, patch)
+def run_bench(batch, patch, steps, warmup, remat=True):
+    state, step, data = build(batch, patch, remat=remat)
     # compile + warmup; fetch the loss to force real execution (the axon
     # remote platform has been observed to elide chained async dispatches)
     for _ in range(warmup):
@@ -136,6 +136,8 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--mode", choices=["train", "infer"], default="train")
+    p.add_argument("--no-remat", action="store_true",
+                   help="disable block-level rematerialization")
     args = p.parse_args()
 
     if args.mode == "infer":
@@ -156,7 +158,8 @@ def main():
     errors = []
     for i, b in enumerate(candidates):
         try:
-            value = run_bench(b, patch, args.steps, args.warmup)
+            value = run_bench(b, patch, args.steps, args.warmup,
+                              remat=not args.no_remat)
             used_batch = b
             break
         except Exception as e:

@@ -113,7 +113,17 @@ def _as_per_stage_kernels(kernel_sizes, num_stages: int, dim: int) -> Tuple[Tupl
     kernel_sizes = list(kernel_sizes)
     if all(isinstance(k, int) for k in kernel_sizes):
         if len(kernel_sizes) == dim and num_stages == dim and dim > 1:
-            # ambiguous; treat as per-stage scalars like the reference does
+            # ambiguous (could be one per-axis kernel OR per-stage scalars);
+            # resolved as per-stage scalars like the reference — warn when
+            # the two readings build different networks so a config typo is
+            # not silent
+            if len(set(kernel_sizes)) > 1:
+                import warnings
+                warnings.warn(
+                    f"kernel_sizes={kernel_sizes} is ambiguous with "
+                    f"num_stages == dim == {dim}: interpreting as PER-STAGE "
+                    "scalar kernels. Use nested per-stage lists "
+                    "(e.g. [[3,3,3], ...]) to be explicit.", stacklevel=3)
             return tuple((int(k),) * dim for k in kernel_sizes)
         if len(kernel_sizes) == 1:
             return tuple((int(kernel_sizes[0]),) * dim for _ in range(num_stages))

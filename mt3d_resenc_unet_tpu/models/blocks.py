@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.gemm_conv import (conv3d_im2col, conv3d_tapsum, im2col_supported,
+from ..ops.gemm_conv import (conv3d_stem_cf, conv3d_tapsum, stem_supported,
                              tapsum_supported)
 from ..ops.instance_norm import (_instance_norm_act_impl,
                                  instance_norm_act_packed,
@@ -55,8 +55,43 @@ class Conv(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
+    def _dispatch(self, x, k):
+        """Route one conv to the best backend for its shape class."""
+        kshape = k.shape
+        nd = len(self.kernel_size)
+        same_pad = all(p == ((kk - 1) // 2,) * 2
+                       for p, kk in zip(self.padding, self.kernel_size))
+        fast = (
+            self.use_pallas
+            and all(s == 1 for s in self.strides)
+            and all(p == (1, 1) for p in self.padding)
+            and _pallas_conv_ok(x.shape, kshape)
+        )
+        if fast:
+            return conv3d_small_c(x, k)
+        if (self.use_pallas and tuple(self.strides) == (2, 2, 2)
+                and all(p == (1, 1) for p in self.padding)
+                and _pallas_s2_ok(x.shape, kshape)):
+            # banded stride-2 kernel for the encoder's downsampling convs
+            return conv3d_s2(x, k)
+        if (self.use_pallas and nd == 3 and same_pad
+                and tapsum_supported(x.shape, kshape)):
+            # deep stages (>=256 ch at small extents): 27 accumulated GEMMs
+            return conv3d_tapsum(x, k, tuple(self.strides))
+        if (self.use_pallas and all(s == 1 for s in self.strides)
+                and same_pad and stem_supported(x.shape, kshape)):
+            # Cin=1 stem: channels-first GEMM over a leading-dim patch
+            # stack (every intermediate keeps W minor -> no lane padding)
+            return conv3d_stem_cf(x, k)
+        spec = {3: ("NDHWC", "DHWIO", "NDHWC"),
+                2: ("NHWC", "HWIO", "NHWC"),
+                1: ("NWC", "WIO", "NWC")}[nd]
+        return jax.lax.conv_general_dilated(
+            x, k, tuple(self.strides), tuple(self.padding),
+            dimension_numbers=spec, preferred_element_type=self.dtype)
+
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, x2=None):
         if self.packed_g:
             g = self.packed_g
             ci = x.shape[-1] // g
@@ -70,43 +105,44 @@ class Conv(nn.Module):
                                   (self.features,), self.param_dtype)
                 y = y + jnp.tile(bias.astype(self.dtype), g)
             return y
-        kshape = tuple(self.kernel_size) + (x.shape[-1], self.features)
+        ci = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
+        kshape = tuple(self.kernel_size) + (ci, self.features)
         kernel = self.param("kernel", nn.initializers.he_normal(),
                             kshape, self.param_dtype)
         bias = (self.param("bias", nn.initializers.zeros,
                            (self.features,), self.param_dtype)
                 if self.use_bias else None)
-        x = x.astype(self.dtype)
         k = kernel.astype(self.dtype)
-        nd = len(self.kernel_size)
-        same_pad = all(p == ((kk - 1) // 2,) * 2
-                       for p, kk in zip(self.padding, self.kernel_size))
-        fast = (
-            self.use_pallas
-            and all(s == 1 for s in self.strides)
-            and all(p == (1, 1) for p in self.padding)
-            and _pallas_conv_ok(x.shape, kshape)
-        )
-        if fast:
-            y = conv3d_small_c(x, k)
-        elif (self.use_pallas and tuple(self.strides) == (2, 2, 2)
-                and all(p == (1, 1) for p in self.padding)
-                and _pallas_s2_ok(x.shape, kshape)):
-            # banded stride-2 kernel for the encoder's downsampling convs
-            y = conv3d_s2(x, k)
-        elif (self.use_pallas and nd == 3 and same_pad
-                and tapsum_supported(x.shape, kshape)):
-            # deep stages (>=256 ch at small extents): 27 accumulated GEMMs
-            y = conv3d_tapsum(x, k, tuple(self.strides))
+        if x2 is None:
+            y = self._dispatch(x.astype(self.dtype), k)
         else:
-            spec = ("NDHWC", "DHWIO", "NDHWC") if nd == 3 else \
-                ("NHWC", "HWIO", "NHWC")
-            y = jax.lax.conv_general_dilated(
-                x, k, tuple(self.strides), tuple(self.padding),
-                dimension_numbers=spec, preferred_element_type=self.dtype)
+            # split-weight concat elimination: conv(concat(x, x2), W) ==
+            # conv(x, W[:c1]) + conv(x2, W[c1:]). The parameter keeps the
+            # concat shape so checkpoints are interchangeable; skipping the
+            # concat avoids materializing the doubled-channel tensor and
+            # lets each half use the small-C banded kernel
+            # (reference decoder concat: builders/decoder.py:137-162).
+            c1 = x.shape[-1]
+            y = (self._dispatch(x.astype(self.dtype), k[..., :c1, :])
+                 + self._dispatch(x2.astype(self.dtype), k[..., c1:, :]))
         if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
+
+
+# Selective rematerialization: only stages whose per-sample block-boundary
+# activation is at least this many elements are worth recomputing in the
+# backward pass. Deep stages (e.g. 16^3 x 256 = 1M elements) cost real
+# recompute time (they hold most of the network's blocks) while their stored
+# activations are tiny; storing them outright is strictly better.
+REMAT_MIN_ELEMS = 2 ** 22
+
+
+def _remat_worthwhile(x) -> bool:
+    per_sample = 1
+    for s in x.shape[1:]:
+        per_sample *= s
+    return per_sample >= REMAT_MIN_ELEMS
 
 
 def _pad_same(kernel: Sequence[int]) -> Tuple[Tuple[int, int], ...]:
@@ -180,7 +216,7 @@ class ConvNormAct(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, residual=None):
+    def __call__(self, x, train: bool = False, residual=None, x2=None):
         x = Conv(
             features=self.features,
             kernel_size=self.kernel,
@@ -192,7 +228,7 @@ class ConvNormAct(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",
-        )(x)
+        )(x, x2)
         if self.dropout_p > 0.0:
             x = nn.Dropout(rate=self.dropout_p, deterministic=not train,
                            name="dropout")(x)
@@ -261,20 +297,25 @@ class _ResidualSkip(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, x2=None):
         has_stride = any(s != 1 for s in self.stride)
         needs_proj = self.in_features != self.features
         if has_stride:
             window = self.stride
             x = nn.avg_pool(x, window_shape=window, strides=self.stride,
                             padding="VALID")
+            if x2 is not None:
+                x2 = nn.avg_pool(x2, window_shape=window,
+                                 strides=self.stride, padding="VALID")
         if needs_proj:
             x = ConvNormAct(
                 features=self.features, kernel=(1,) * (x.ndim - 2),
                 stride=(1,) * (x.ndim - 2), use_bias=False,
                 norm_affine=self.norm_affine, norm_eps=self.norm_eps,
                 act=False, dtype=self.dtype, param_dtype=self.param_dtype,
-                name="proj")(x)
+                name="proj")(x, False, None, x2)
+        elif x2 is not None:
+            x = jnp.concatenate([x, x2], axis=-1)
         return x
 
 
@@ -298,7 +339,7 @@ class BasicBlockD(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, x2=None):
         if self.packed_g:
             # identity skip; conv -> norm+act -> conv -> norm+add+act, all
             # on the packed layout (no lane padding, no boundary relayouts)
@@ -312,12 +353,12 @@ class BasicBlockD(nn.Module):
             out = ConvNormAct(act=True, dropout_p=self.dropout_p,
                               name="conv1", **pk)(x, train)
             return ConvNormAct(act=True, name="conv2", **pk)(out, train, x)
-        in_features = x.shape[-1]
+        in_features = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         residual = _ResidualSkip(
             features=self.features, stride=self.stride,
             in_features=in_features, norm_affine=self.norm_affine,
             norm_eps=self.norm_eps, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="skip")(x)
+            param_dtype=self.param_dtype, name="skip")(x, x2)
         out = ConvNormAct(
             features=self.features, kernel=self.kernel, stride=self.stride,
             use_bias=self.conv_bias, norm_affine=self.norm_affine,
@@ -325,7 +366,7 @@ class BasicBlockD(nn.Module):
             negative_slope=self.negative_slope, dropout_p=self.dropout_p,
             use_pallas=self.use_pallas,
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv1",
-        )(x, train)
+        )(x, train, None, x2)
         fuse_tail = not (self.squeeze_excitation
                          or (train and self.stochastic_depth_p > 0.0))
         conv2 = ConvNormAct(
@@ -436,16 +477,17 @@ class StackedResidualBlocks(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, x2=None):
         ones = (1,) * len(self.initial_stride)
         # Rematerialization: store only block boundaries for backward and
         # recompute in-block activations — the TPU trade of HBM for FLOPs
         # that replaces the reference's reliance on 24GB GPUs
         # (SURVEY.md §7.3.2; 3D U-Net activations dominate memory).
+        do_remat = self.remat and _remat_worthwhile(x)
         basic_cls = nn.remat(BasicBlockD, static_argnums=(2,)) \
-            if self.remat else BasicBlockD
+            if do_remat else BasicBlockD
         bottleneck_cls = nn.remat(BottleneckD, static_argnums=(2,)) \
-            if self.remat else BottleneckD
+            if do_remat else BottleneckD
         common = dict(
             features=self.features, kernel=self.kernel,
             conv_bias=self.conv_bias, norm_affine=self.norm_affine,
@@ -465,6 +507,7 @@ class StackedResidualBlocks(nn.Module):
                 and self.stochastic_depth_p == 0.0
                 and tuple(self.kernel) == (3, 3, 3)):
             first_ok = (all(st == 1 for st in self.initial_stride)
+                        and x2 is None
                         and x.shape[-1] == self.features)
             packed_from = 0 if first_ok else 1
 
@@ -481,12 +524,14 @@ class StackedResidualBlocks(nn.Module):
                     return xp.reshape(n, d, h, w, c)
             stride = self.initial_stride if i == 0 else ones
             if self.block_type == "BottleneckBlockD":
+                if i == 0 and x2 is not None:
+                    x = jnp.concatenate([x, x2], axis=-1)
                 x = bottleneck_cls(
                     bottleneck_features=self.bottleneck_features or self.features // 4,
                     stride=stride, name=f"block{i}", **common)(x, train)
             else:
                 x = basic_cls(stride=stride, name=f"block{i}", **common)(
-                    x, train)
+                    x, train, x2 if i == 0 else None)
         return x
 
 
@@ -509,10 +554,10 @@ class StackedConvBlocks(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, x2=None):
         ones = (1,) * len(self.initial_stride)
         conv_cls = nn.remat(ConvNormAct, static_argnums=(2,)) \
-            if self.remat else ConvNormAct
+            if self.remat and _remat_worthwhile(x) else ConvNormAct
         for i in range(self.n_convs):
             x = conv_cls(
                 features=self.features, kernel=self.kernel,
@@ -522,5 +567,5 @@ class StackedConvBlocks(nn.Module):
                 negative_slope=self.negative_slope, dropout_p=self.dropout_p,
                 use_pallas=self.use_pallas,
                 dtype=self.dtype, param_dtype=self.param_dtype,
-                name=f"conv{i}")(x, train)
+                name=f"conv{i}")(x, train, None, x2 if i == 0 else None)
         return x

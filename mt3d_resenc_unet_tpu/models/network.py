@@ -84,6 +84,37 @@ class UpsampleConv(nn.Module):
         return y
 
 
+class SegLayer(nn.Module):
+    """1x1(x1) segmentation head as a plain channel matmul.
+
+    Parameter layout matches flax ``nn.Conv`` with kernel_size (1,)*dim
+    (kernel (*1, ci, co) + bias), so checkpoints are interchangeable with
+    the previous nn.Conv seg layers. A dot avoids conv_general_dilated's
+    layout constraints: with co in {1, 3} XLA's conv dW transpose
+    materialized a 4x lane-padded batch-minor copy of the input activation
+    (2 GB for a 512 MB tensor at batch 4) — the GEMM formulation compiles
+    with zero layout-change temps (reference: builders/decoder.py:97-100
+    seg_layers)."""
+
+    features: int
+    dim: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1,) * self.dim + (ci, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        w2 = kernel.reshape(ci, self.features).astype(self.dtype)
+        y = jnp.dot(x.astype(self.dtype), w2,
+                    preferred_element_type=self.dtype)
+        return y + bias.astype(self.dtype)
+
+
 class Encoder(nn.Module):
     """Shared trunk: optional 1-conv stem + N stages of residual/conv stacks,
     returning all per-stage skips (reference: builders/encoder.py:27-158)."""
@@ -175,7 +206,11 @@ class Decoder(nn.Module):
                 use_bias=p.conv_bias, dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"up{s - 1}",
             )(x)
-            x = jnp.concatenate([x, skips[n - 1 - s]], axis=-1)
+            # the skip concat (reference: decoder.py:137-162) is never
+            # materialized: the stage's first conv consumes the
+            # (upsampled, skip) pair with split weights (models/blocks.py
+            # Conv.__call__ x2 path)
+            skip = skips[n - 1 - s]
             if p.basic_decoder_block == "ResidualBlock":
                 x = StackedResidualBlocks(
                     n_blocks=p.n_conv_per_stage_decoder[s - 1],
@@ -183,7 +218,7 @@ class Decoder(nn.Module):
                     kernel=p.kernel_sizes[n - 1 - s],
                     initial_stride=(1,) * p.dim,
                     name=f"stage{s - 1}", **common,
-                )(x, train)
+                )(x, train, skip)
             else:
                 x = StackedConvBlocks(
                     n_convs=p.n_conv_per_stage_decoder[s - 1],
@@ -191,14 +226,12 @@ class Decoder(nn.Module):
                     kernel=p.kernel_sizes[n - 1 - s],
                     initial_stride=(1,) * p.dim,
                     name=f"stage{s - 1}", **common,
-                )(x, train)
+                )(x, train, skip)
             # seg layers are built for every stage (checkpoint compat);
             # computed only when needed.
-            seg = nn.Conv(
-                features=self.num_classes, kernel_size=(1,) * p.dim,
-                strides=(1,) * p.dim, padding="VALID", use_bias=True,
-                dtype=self.dtype, param_dtype=self.param_dtype,
-                name=f"seg{s - 1}",
+            seg = SegLayer(
+                features=self.num_classes, dim=p.dim, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=f"seg{s - 1}",
             )
             if p.deep_supervision or s == n - 1:
                 seg_outputs.append(seg(x))

@@ -77,6 +77,94 @@ def conv3d_tapsum(x: jax.Array, w: jax.Array,
     return acc.reshape(n, od, oh, ow, co).astype(x.dtype)
 
 
+def conv3d_stem(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Cin=1 3x3x3 same-pad stride-1 conv as one full-lane GEMM over a
+    GROUP-packed patch matrix.
+
+    XLA's direct lowering of the stem conv (1 input channel) runs at
+    ~1.4 TF/s: the implicit GEMM has K=1. A plain im2col patch matrix
+    (M, 27) lane-pads 27->128 (4.7x memory). Packing g = 128//co output
+    x-positions per row instead gives patches (M/g, 9*(g+2)): the g
+    positions of a group share taps, so per (dz, dy) only g+2 unique input
+    values are needed, and the GEMM (M/g, 9*(g+2)) x (9*(g+2), g*co) fills
+    all 128 output lanes. ~2x structural-zero FLOPs; the op becomes
+    bandwidth-bound. Pure XLA, so jax.grad differentiates it (dx is dead:
+    the stem input carries no gradient).
+    """
+    n, d, h, wd, ci = x.shape
+    kd, kh, kw, _, co = w.shape
+    g = 128 // co
+    wg = wd // g
+    span = g + 2
+    xq = x.reshape(n, d, h, wd)
+    xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    cols = []
+    for dz in range(kd):
+        for dy in range(kh):
+            for o in range(span):
+                sl = jax.lax.slice(
+                    xp, (0, dz, dy, o),
+                    (n, dz + d, dy + h, o + (wg - 1) * g + 1),
+                    (1, 1, 1, g))
+                cols.append(sl)
+    patches = jnp.stack(cols, axis=-1)          # (N, D, H, W/g, 9*span)
+    # W'[(dz*3+dy)*span + o, s*co + c] = w[dz, dy, o - s, 0, c] for
+    # 0 <= o - s < 3 (patch row o covers output offset s at tap o - s)
+    zeros = jnp.zeros_like(w[0, 0, 0, 0])       # (co,)
+    blocks = []
+    for dz in range(kd):
+        for dy in range(kh):
+            for o in range(span):
+                row = []
+                for s in range(g):
+                    t = o - s
+                    row.append(w[dz, dy, t, 0] if 0 <= t < kw else zeros)
+                blocks.append(jnp.concatenate(row, axis=-1))
+    wmat = jnp.stack(blocks, axis=0)            # (9*span, g*co)
+    y = jnp.dot(patches.reshape(-1, kd * kh * span), wmat,
+                preferred_element_type=jnp.float32)
+    return y.reshape(n, d, h, wg * g, co).astype(x.dtype)
+
+
+def conv3d_stem_cf(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Cin=1 3x3x3 same-pad stride-1 conv via a LEADING-dim patch stack and
+    a channels-first GEMM.
+
+    All intermediates keep the (large) W axis minor, so nothing lane-pads:
+    patches P (27, N, D, H, W) is a major-dim stack of 27 compact shifted
+    views; y_cf (co, N*D*H*W) = W'(co, 27) @ P is a compact GEMM; one final
+    transpose emits channels-last. Contrast: a minor-dim patch matrix
+    (M, 27) lane-pads 27->128/4.7x and its 54 strided slices compile to
+    ~40 ms at batch 4 on v5e.
+    """
+    n, d, h, wd, ci = x.shape
+    kd, kh, kw, _, co = w.shape
+    xq = x.reshape(n, d, h, wd).astype(x.dtype)
+    xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    taps = []
+    for dz in range(kd):
+        for dy in range(kh):
+            for dx in range(kw):
+                taps.append(jax.lax.slice(
+                    xp, (0, dz, dy, dx), (n, dz + d, dy + h, dx + wd)))
+    p = jnp.stack(taps, axis=0).reshape(kd * kh * kw, -1)
+    wcf = w.reshape(kd * kh * kw, co).T.astype(x.dtype)   # (co, 27)
+    y_cf = jnp.dot(wcf, p, preferred_element_type=jnp.float32)  # (co, M)
+    y = jnp.transpose(y_cf.astype(x.dtype))               # (M, co)
+    return y.reshape(n, d, h, wd, co)
+
+
+def stem_supported(x_shape, w_shape) -> bool:
+    """Group-packed stem path: Cin=1, 3^3, co dividing 128, W % g == 0."""
+    if len(x_shape) != 5 or len(w_shape) != 5:
+        return False
+    kd, kh, kw, ci, co = w_shape
+    if (kd, kh, kw) != (3, 3, 3) or ci != 1 or co > 128 or 128 % co:
+        return False
+    g = 128 // co
+    return x_shape[-1] == 1 and x_shape[3] % g == 0
+
+
 def im2col_supported(x_shape, w_shape) -> bool:
     """Small-K GEMM path: pays off when the patch matrix K is tiny (stem)."""
     if len(x_shape) != 5 or len(w_shape) != 5:

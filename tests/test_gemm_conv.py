@@ -63,3 +63,54 @@ def test_dispatch_predicates():
     assert tapsum_supported((1, 16, 16, 16, 256), (3, 3, 3, 256, 256))
     assert not tapsum_supported((1, 64, 64, 64, 256), (3, 3, 3, 256, 256))
     assert not tapsum_supported((1, 16, 16, 16, 128), (3, 3, 3, 128, 128))
+
+
+def test_stem_group_packed():
+    from mt3d_resenc_unet_tpu.ops.gemm_conv import conv3d_stem, stem_supported
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 16, 1)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((3, 3, 3, 1, 32)).astype(np.float32) * 0.2)
+    assert stem_supported(x.shape, w.shape)
+    y = conv3d_stem(x, w)
+    y_ref = _ref(x, w, (1, 1, 1))
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+    # dW parity through autodiff (dx is dead for the stem input)
+    gy = jnp.asarray(rng.standard_normal(y.shape).astype(np.float32))
+    gw = jax.grad(lambda w: jnp.sum(conv3d_stem(x, w) * gy))(w)
+    rw = jax.grad(lambda w: jnp.sum(_ref(x, w, (1, 1, 1)) * gy))(w)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_stem_co16_and_64():
+    from mt3d_resenc_unet_tpu.ops.gemm_conv import conv3d_stem, stem_supported
+    rng = np.random.default_rng(5)
+    for co in (16, 64):
+        g = 128 // co
+        x = jnp.asarray(
+            rng.standard_normal((1, 4, 4, 2 * g, 1)).astype(np.float32))
+        w = jnp.asarray(
+            rng.standard_normal((3, 3, 3, 1, co)).astype(np.float32) * 0.2)
+        assert stem_supported(x.shape, w.shape)
+        np.testing.assert_allclose(
+            np.asarray(conv3d_stem(x, w)),
+            np.asarray(_ref(x, w, (1, 1, 1))), rtol=1e-4, atol=1e-4)
+
+
+def test_stem_cf_matches_xla():
+    from mt3d_resenc_unet_tpu.ops.gemm_conv import conv3d_stem_cf
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 16, 1)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((3, 3, 3, 1, 32)).astype(np.float32) * 0.2)
+    np.testing.assert_allclose(
+        np.asarray(conv3d_stem_cf(x, w)),
+        np.asarray(_ref(x, w, (1, 1, 1))), rtol=1e-4, atol=1e-4)
+    gy = jnp.asarray(rng.standard_normal((2, 6, 8, 16, 32)).astype(np.float32))
+    gw = jax.grad(lambda w: jnp.sum(conv3d_stem_cf(x, w) * gy))(w)
+    rw = jax.grad(lambda w: jnp.sum(_ref(x, w, (1, 1, 1)) * gy))(w)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=1e-3, atol=1e-3)

@@ -163,3 +163,18 @@ def test_flagship_entry_compiles():
     params = model.init({"params": jax.random.key(0)}, x, train=False)
     out = jax.jit(lambda p, x: model.apply(p, x, train=False))(params, x)
     assert set(out) == {"sheet", "normals"}
+
+
+def test_1d_network():
+    """op_dims=1 capability (reference: builders/utils.py:8-66
+    convert_dim_to_conv_op supports 1/2/3-D)."""
+    plan = plan_from_manual_config(
+        dict(basic_encoder_block="BasicBlockD", basic_decoder_block="ConvBlock",
+             bottleneck_block="BasicBlockD", features_per_stage=[4, 8],
+             num_stages=2, n_blocks_per_stage=[1, 1],
+             n_conv_per_stage_decoder=[1], kernel_sizes=[3, 3],
+             strides=[1, 2]),
+        (16,), 1, [TaskHead("seg", 2, "softmax")])
+    assert plan.dim == 1
+    _, _, out = _init_and_run(plan, (2, 16, 1))
+    assert out["seg"].shape == (2, 16, 2)
