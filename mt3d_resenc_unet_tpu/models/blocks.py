@@ -52,6 +52,7 @@ class Conv(nn.Module):
     use_bias: bool = False
     use_pallas: bool = False
     packed_g: int = 0     # >0: x is packed (N,D,H,W/g,g*ci); returns packed
+    pre_pool: Tuple[int, ...] = ()  # fused AvgPool(s) before a 1x1 conv
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -95,11 +96,18 @@ class Conv(nn.Module):
         if self.packed_g:
             g = self.packed_g
             ci = x.shape[-1] // g
-            kshape = tuple(self.kernel_size) + (ci, self.features)
+            ci_tot = ci + (x2.shape[-1] // g if x2 is not None else 0)
+            kshape = tuple(self.kernel_size) + (ci_tot, self.features)
             kernel = self.param("kernel", nn.initializers.he_normal(),
                                 kshape, self.param_dtype)
-            y = conv3d_packed(x.astype(self.dtype),
-                              kernel.astype(self.dtype), g)
+            kk = kernel.astype(self.dtype)
+            if x2 is None:
+                y = conv3d_packed(x.astype(self.dtype), kk, g)
+            else:
+                # packed split-weight pair (decoder skip concat, packed io)
+                y = (conv3d_packed(x.astype(self.dtype), kk[..., :ci, :], g)
+                     + conv3d_packed(x2.astype(self.dtype), kk[..., ci:, :],
+                                     g))
             if self.use_bias:
                 bias = self.param("bias", nn.initializers.zeros,
                                   (self.features,), self.param_dtype)
@@ -113,7 +121,10 @@ class Conv(nn.Module):
                            (self.features,), self.param_dtype)
                 if self.use_bias else None)
         k = kernel.astype(self.dtype)
-        if x2 is None:
+        if self.pre_pool:
+            y = _pool_proj(x.astype(self.dtype), k, tuple(self.pre_pool),
+                           self.dtype)
+        elif x2 is None:
             y = self._dispatch(x.astype(self.dtype), k)
         else:
             # split-weight concat elimination: conv(concat(x, x2), W) ==
@@ -128,6 +139,50 @@ class Conv(nn.Module):
         if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
+
+
+def _pool_proj(x, k, p, dtype):
+    """AvgPool(p) -> 1x1 projection as elementwise pair-sums plus ONE
+    full-lane GEMM on the packed layout.
+
+    XLA lowers both reduce_window and the equivalent tiled stride-2 conv on
+    small-C inputs through pathological batch-minor layouts (~9 ms of
+    relayout copies at full res, profiled). Here D/H pooling is two strided
+    adds on major dims; W pooling folds into the projection GEMM via a
+    block-structured (g*ci, (g//2)*co) matrix on the x-packed view, so every
+    intermediate keeps 128 lanes. k is the (1,)*nd + (ci, co) projection."""
+    nd = x.ndim - 2
+    ci, co = k.shape[-2], k.shape[-1]
+    w2 = k.reshape(ci, co)
+    scale = 1.0
+    for s in p:
+        scale *= s
+    if (nd == 3 and tuple(p) == (2, 2, 2) and ci <= 64 and 128 % ci == 0
+            and x.shape[3] % (128 // ci) == 0
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            and (128 // ci) >= 2):
+        n, d, h, w, _ = x.shape
+        g = 128 // ci
+        xp = x.reshape(n, d, h, w // g, g * ci)
+        t = xp[:, ::2] + xp[:, 1::2]
+        t = t[:, :, ::2] + t[:, :, 1::2]
+        go = g // 2
+        m = jnp.zeros((g, ci, go, co), dtype)
+        for q in range(go):
+            m = m.at[2 * q, :, q].set(w2.astype(dtype) / scale)
+            m = m.at[2 * q + 1, :, q].set(w2.astype(dtype) / scale)
+        m = m.reshape(g * ci, go * co)
+        y = jnp.dot(t, m, preferred_element_type=dtype)
+        return y.reshape(n, d // 2, h // 2, w // 2, co)
+    # generic fallback: tiled-kernel strided conv
+    k_eff = jnp.broadcast_to(
+        k.reshape((1,) * nd + (ci, co)) / scale, tuple(p) + (ci, co))
+    spec = {3: ("NDHWC", "DHWIO", "NDHWC"),
+            2: ("NHWC", "HWIO", "NHWC"),
+            1: ("NWC", "WIO", "NWC")}[nd]
+    return jax.lax.conv_general_dilated(
+        x, k_eff.astype(dtype), tuple(p), ((0, 0),) * nd,
+        dimension_numbers=spec, preferred_element_type=dtype)
 
 
 # Selective rematerialization: only stages whose per-sample block-boundary
@@ -212,6 +267,7 @@ class ConvNormAct(nn.Module):
     dropout_p: float = 0.0
     use_pallas: bool = False
     packed_g: int = 0
+    pre_pool: Tuple[int, ...] = ()
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -225,6 +281,7 @@ class ConvNormAct(nn.Module):
             use_bias=self.use_bias,
             use_pallas=self.use_pallas,
             packed_g=self.packed_g,
+            pre_pool=self.pre_pool,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",
@@ -300,6 +357,21 @@ class _ResidualSkip(nn.Module):
     def __call__(self, x, x2=None):
         has_stride = any(s != 1 for s in self.stride)
         needs_proj = self.in_features != self.features
+        if has_stride and needs_proj and x2 is None:
+            # AvgPool(s) then 1x1 Conv == ONE stride-s conv whose kernel is
+            # the 1x1 projection tiled over the window and scaled by
+            # 1/prod(s). XLA's reduce_window on the channels-minor layout
+            # costs ~9 ms in relayout copies at full res (profiled); the
+            # fused conv has K = prod(s)*ci and reads x once. The parameter
+            # stays the 1x1 kernel (checkpoint-compatible: Conv.pre_pool).
+            nd = x.ndim - 2
+            return ConvNormAct(
+                features=self.features, kernel=(1,) * nd,
+                stride=(1,) * nd, use_bias=False,
+                norm_affine=self.norm_affine, norm_eps=self.norm_eps,
+                act=False, pre_pool=tuple(self.stride),
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="proj")(x)
         if has_stride:
             window = self.stride
             x = nn.avg_pool(x, window_shape=window, strides=self.stride,
@@ -558,6 +630,33 @@ class StackedConvBlocks(nn.Module):
         ones = (1,) * len(self.initial_stride)
         conv_cls = nn.remat(ConvNormAct, static_argnums=(2,)) \
             if self.remat and _remat_worthwhile(x) else ConvNormAct
+        # packed fast path (mirrors StackedResidualBlocks): stride-1 stacks
+        # whose convs are all banded-kernel shapes run on the x-packed
+        # layout end to end — incl. the decoder's split (up, skip) pair —
+        # avoiding per-conv pack/unpack relayouts
+        c = self.features
+        kshape = (3, 3, 3, c, c)
+        if (self.use_pallas and tuple(self.kernel) == (3, 3, 3)
+                and all(s == 1 for s in self.initial_stride)
+                and x.shape[-1] == c
+                and (x2 is None or x2.shape[-1] == c)
+                and _pallas_conv_ok(x.shape, kshape)):
+            g = 128 // c
+            n, d, h, w, _ = x.shape
+            xp = x.reshape(n, d, h, w // g, g * c)
+            xp2 = (x2.reshape(n, d, h, w // g, g * c)
+                   if x2 is not None else None)
+            for i in range(self.n_convs):
+                xp = conv_cls(
+                    features=c, kernel=self.kernel, stride=ones,
+                    use_bias=self.conv_bias, norm_affine=self.norm_affine,
+                    norm_eps=self.norm_eps, act=True,
+                    negative_slope=self.negative_slope,
+                    dropout_p=self.dropout_p, use_pallas=True, packed_g=g,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name=f"conv{i}")(xp, train, None,
+                                     xp2 if i == 0 else None)
+            return xp.reshape(n, d, h, w, c)
         for i in range(self.n_convs):
             x = conv_cls(
                 features=self.features, kernel=self.kernel,

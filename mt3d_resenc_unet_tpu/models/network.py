@@ -64,21 +64,54 @@ class UpsampleConv(nn.Module):
         # flax ConvTranspose applies the kernel spatially flipped:
         # y[k*i + di] = x[i] @ W[k-1-di] (verified against nn.ConvTranspose)
         wflip = jnp.flip(kernel.astype(self.dtype), axis=tuple(range(nd)))
-        # (k..., ci, co) -> (ci, prod(k)*co)
-        w2 = jnp.moveaxis(wflip, nd, 0)
-        w2 = w2.reshape(ci, -1)
-        y = jnp.dot(x, w2, preferred_element_type=self.dtype)
-        # (N, *s, prod(k)*co) -> (N, *(s_i, k_i)..., co) -> upsampled
         n = x.shape[0]
         spatial = x.shape[1:-1]
-        y = y.reshape((n,) + spatial + k + (co,))
-        # interleave: (N, s0, s1, s2, k0, k1, k2, co) -> (N, s0,k0, s1,k1, ...)
-        perm = [0]
-        for i in range(nd):
-            perm += [1 + i, 1 + nd + i]
-        perm += [1 + 2 * nd]
-        y = y.transpose(perm)
-        y = y.reshape((n,) + tuple(s * kk for s, kk in zip(spatial, k)) + (co,))
+        # Packed path for the 2x cube upsample at small channel counts: the
+        # generic depth-to-space interleave below ends in a minor-dims
+        # (W, k2, co) transpose that Mosaic lowers to a T(2,128) relayout
+        # copy — ~13 ms per task at full res (profiled). Instead pack
+        # g = 128//co output x-positions on lanes: per (di, dj) ONE
+        # full-lane GEMM on rows that pack q input x-positions with
+        # channels, then a major-dims-only (D, H) interleave.
+        g_o = 128 // co if co <= 64 and 128 % co == 0 else 0
+        qn = g_o // 2
+        if (nd == 3 and k == (2, 2, 2) and g_o >= 2 and qn * ci == 128
+                and spatial[2] % max(qn, 1) == 0):
+            di_, hi_, wi_ = spatial
+            wg = wi_ // qn
+            xp = x.reshape(n, di_, hi_, wg, qn * ci)
+            # W'[(q, cin), (dk, q', c)] = wflip[di, dj, dk, cin, c] iff q==q'
+            # output lane l = (2q + dk)*co + c  (w_out = 2*(qn*wg+q) + dk)
+            wb = jnp.zeros((2, 2, qn, ci, 2 * qn, co), self.dtype)
+            for q in range(qn):
+                for dk in range(2):
+                    wb = wb.at[:, :, q, :, 2 * q + dk, :].set(
+                        wflip[:, :, dk])
+            wb = wb.reshape(2, 2, qn * ci, g_o * co)
+            y = jnp.zeros((n, 2 * di_, 2 * hi_, wg, 128), self.dtype)
+            for di in range(2):
+                for dj in range(2):
+                    yb = jnp.dot(xp, wb[di, dj],
+                                 preferred_element_type=self.dtype)
+                    # strided major-dim writes fuse into the GEMM epilogue
+                    # (a stack + transpose costs a ~12 ms relayout copy)
+                    y = y.at[:, di::2, dj::2].set(yb)
+            y = y.reshape(n, 2 * di_, 2 * hi_, 2 * wi_, co)
+        else:
+            # (k..., ci, co) -> (ci, prod(k)*co)
+            w2 = jnp.moveaxis(wflip, nd, 0)
+            w2 = w2.reshape(ci, -1)
+            y = jnp.dot(x, w2, preferred_element_type=self.dtype)
+            # (N, *s, prod(k)*co) -> (N, *(s_i, k_i)..., co) -> upsampled
+            y = y.reshape((n,) + spatial + k + (co,))
+            # interleave: (N, s0, s1, s2, k0, k1, k2, co) -> (N, s0,k0, ...)
+            perm = [0]
+            for i in range(nd):
+                perm += [1 + i, 1 + nd + i]
+            perm += [1 + 2 * nd]
+            y = y.transpose(perm)
+            y = y.reshape((n,) + tuple(s * kk for s, kk in zip(spatial, k))
+                          + (co,))
         if bias is not None:
             y = y + bias.astype(self.dtype)
         return y

@@ -148,9 +148,12 @@ def conv3d_stem_cf(x: jax.Array, w: jax.Array) -> jax.Array:
                 taps.append(jax.lax.slice(
                     xp, (0, dz, dy, dx), (n, dz + d, dy + h, dx + wd)))
     p = jnp.stack(taps, axis=0).reshape(kd * kh * kw, -1)
-    wcf = w.reshape(kd * kh * kw, co).T.astype(x.dtype)   # (co, 27)
-    y_cf = jnp.dot(wcf, p, preferred_element_type=jnp.float32)  # (co, M)
-    y = jnp.transpose(y_cf.astype(x.dtype))               # (M, co)
+    wcf = w.reshape(kd * kh * kw, co).astype(x.dtype)     # (27, co)
+    # contract the leading tap dim: output is (M, co) with no explicit
+    # transpose (XLA places the relayout, if any, inside the GEMM)
+    y = jax.lax.dot_general(
+        p, wcf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
     return y.reshape(n, d, h, wd, co)
 
 

@@ -100,8 +100,12 @@ def build_banded_weights(w: jax.Array, g: int):
 
 
 def _pick_tile(d: int, h: int, wga: int, gc: int, itemsize: int,
-               budget_bytes: int = (5 << 20) // 2) -> Tuple[int, int]:
+               budget_bytes: int = None) -> Tuple[int, int]:
     """(bd, bh) dividing (d, h) with the halo'd input tile under budget."""
+    if budget_bytes is None:
+        import os
+        budget_bytes = int(os.environ.get("MT3D_CONV_TILE_BUDGET",
+                                          (5 << 20) // 2))
     row_bytes = wga * gc * itemsize
 
     def fits(bd, bh):

@@ -178,3 +178,25 @@ def test_1d_network():
     assert plan.dim == 1
     _, _, out = _init_and_run(plan, (2, 16, 1))
     assert out["seg"].shape == (2, 16, 2)
+
+
+def test_upsample_packed_path_matches_generic():
+    """The packed full-lane upsample GEMM (co<=64, qn*ci==128) must equal
+    flax nn.ConvTranspose exactly (same flip semantics)."""
+    from flax import linen as fnn
+    from mt3d_resenc_unet_tpu.models.network import UpsampleConv
+
+    rng = np.random.default_rng(3)
+    for ci, co in ((64, 32), (128, 64)):
+        x = jnp.asarray(rng.standard_normal((2, 4, 6, 8, ci)).astype(np.float32))
+        mod = UpsampleConv(features=co, kernel_size=(2, 2, 2),
+                           use_bias=False, dtype=jnp.float32)
+        params = mod.init({"params": jax.random.key(0)}, x)
+        ref_mod = fnn.ConvTranspose(features=co, kernel_size=(2, 2, 2),
+                                    strides=(2, 2, 2), use_bias=False,
+                                    dtype=jnp.float32)
+        out = mod.apply(params, x)
+        ref = ref_mod.apply(params, x)
+        assert out.shape == (2, 8, 12, 16, co)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
