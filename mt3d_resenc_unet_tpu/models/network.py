@@ -88,14 +88,13 @@ class UpsampleConv(nn.Module):
                     wb = wb.at[:, :, q, :, 2 * q + dk, :].set(
                         wflip[:, :, dk])
             wb = wb.reshape(2, 2, qn * ci, g_o * co)
-            y = jnp.zeros((n, 2 * di_, 2 * hi_, wg, 128), self.dtype)
-            for di in range(2):
-                for dj in range(2):
-                    yb = jnp.dot(xp, wb[di, dj],
-                                 preferred_element_type=self.dtype)
-                    # strided major-dim writes fuse into the GEMM epilogue
-                    # (a stack + transpose costs a ~12 ms relayout copy)
-                    y = y.at[:, di::2, dj::2].set(yb)
+            ys = [jnp.dot(xp, wb[di, dj], preferred_element_type=self.dtype)
+                  for di in range(2) for dj in range(2)]
+            y = jnp.stack(ys, axis=0).reshape(2, 2, n, di_, hi_, wg, 128)
+            # (di,dj,N,D,H,Wg,L) -> (N,D,di,H,dj,Wg,L): minor dims untouched
+            # (strided .at[::2].set scatters measured 6% SLOWER end-to-end
+            # than this stack + major-dims transpose)
+            y = y.transpose(2, 3, 0, 4, 1, 5, 6)
             y = y.reshape(n, 2 * di_, 2 * hi_, 2 * wi_, co)
         else:
             # (k..., ci, co) -> (ci, prod(k)*co)
