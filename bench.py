@@ -152,7 +152,9 @@ def main():
         return
 
     patch = tuple(args.patch)
-    candidates = [args.batch] if args.batch else [8, 4, 2, 1]
+    # batch 8 and 6 deterministically exceed the 16G HBM at 128^3 (measured
+    # 2026-08-17: b6 by 1.44G); starting at 4 saves ~6 min of futile compile
+    candidates = [args.batch] if args.batch else [4, 2, 1]
     value = None
     used_batch = None
     errors = []
