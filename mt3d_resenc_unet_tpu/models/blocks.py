@@ -52,6 +52,7 @@ class Conv(nn.Module):
     use_bias: bool = False
     use_pallas: bool = False
     packed_g: int = 0     # >0: x is packed (N,D,H,W/g,g*ci); returns packed
+    packed_out: bool = False  # stem path may return packed (caller checks)
     pre_pool: Tuple[int, ...] = ()  # fused AvgPool(s) before a 1x1 conv
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
@@ -82,8 +83,9 @@ class Conv(nn.Module):
         if (self.use_pallas and all(s == 1 for s in self.strides)
                 and same_pad and stem_supported(x.shape, kshape)):
             # Cin=1 stem: channels-first GEMM over a leading-dim patch
-            # stack (every intermediate keeps W minor -> no lane padding)
-            return conv3d_stem_cf(x, k)
+            # stack (every intermediate keeps W minor -> no lane padding).
+            # Emits the x-packed layout when the caller can norm packed.
+            return conv3d_stem_cf(x, k, packed_out=self.packed_out)
         spec = {3: ("NDHWC", "DHWIO", "NDHWC"),
                 2: ("NHWC", "HWIO", "NHWC"),
                 1: ("NWC", "WIO", "NWC")}[nd]
@@ -275,6 +277,7 @@ class ConvNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, residual=None, x2=None):
+        in_shape = x.shape
         x = Conv(
             features=self.features,
             kernel_size=self.kernel,
@@ -283,11 +286,23 @@ class ConvNormAct(nn.Module):
             use_bias=self.use_bias,
             use_pallas=self.use_pallas,
             packed_g=self.packed_g,
+            packed_out=(self.norm and not self.packed_g
+                        and self.dropout_p == 0.0),
             pre_pool=self.pre_pool,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",
         )(x, x2)
+        if not self.packed_g and x.ndim == 5 and x.shape[-1] != self.features:
+            # the stem path emitted the x-packed layout: norm packed, then
+            # unpack (the unpack cancels with the next stage's pack)
+            g = x.shape[-1] // self.features
+            x = InstanceNorm(
+                affine=self.norm_affine, eps=self.norm_eps,
+                negative_slope=self.negative_slope, act=self.act,
+                packed_g=g, param_dtype=self.param_dtype, name="norm")(
+                x, residual)
+            return x.reshape(in_shape[:-1] + (self.features,))
         if self.dropout_p > 0.0:
             x = nn.Dropout(rate=self.dropout_p, deterministic=not train,
                            name="dropout")(x)

@@ -126,7 +126,8 @@ def conv3d_stem(x: jax.Array, w: jax.Array) -> jax.Array:
     return y.reshape(n, d, h, wg * g, co).astype(x.dtype)
 
 
-def conv3d_stem_cf(x: jax.Array, w: jax.Array) -> jax.Array:
+def conv3d_stem_cf(x: jax.Array, w: jax.Array,
+                   packed_out: bool = False) -> jax.Array:
     """Cin=1 3x3x3 same-pad stride-1 conv via a LEADING-dim patch stack and
     a channels-first GEMM.
 
@@ -154,6 +155,12 @@ def conv3d_stem_cf(x: jax.Array, w: jax.Array) -> jax.Array:
     y = jax.lax.dot_general(
         p, wcf, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(x.dtype)
+    if packed_out and co <= 64 and 128 % co == 0 and wd % (128 // co) == 0:
+        # (M, co) -> (M/g, g*co): g consecutive w-rows are consecutive in M,
+        # so this is the x-packed layout directly — the consumer's packed
+        # instance norm reads it without an unpack/repack round trip
+        g = 128 // co
+        return y.reshape(n, d, h, wd // g, g * co)
     return y.reshape(n, d, h, wd, co)
 
 

@@ -114,3 +114,31 @@ def test_stem_cf_matches_xla():
     rw = jax.grad(lambda w: jnp.sum(_ref(x, w, (1, 1, 1)) * gy))(w)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_stem_packed_out_and_convnormact_shape():
+    """conv3d_stem_cf(packed_out=True) emits the x-packed layout, and
+    ConvNormAct still returns the unpacked (N,D,H,W,C) shape with values
+    equal to the unpacked path."""
+    from mt3d_resenc_unet_tpu.ops.gemm_conv import conv3d_stem_cf
+    from mt3d_resenc_unet_tpu.models.blocks import ConvNormAct
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 4, 6, 16, 1)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((3, 3, 3, 1, 16)).astype(np.float32) * 0.2)
+    yp = conv3d_stem_cf(x, w, packed_out=True)
+    assert yp.shape == (2, 4, 6, 2, 128)
+    y = conv3d_stem_cf(x, w)
+    np.testing.assert_allclose(
+        np.asarray(yp.reshape(2, 4, 6, 16, 16)), np.asarray(y),
+        rtol=1e-5, atol=1e-5)
+
+    mod = ConvNormAct(features=16, kernel=(3, 3, 3), stride=(1, 1, 1),
+                      use_pallas=True, dtype=jnp.float32)
+    params = mod.init({"params": jax.random.key(0)}, x)
+    out = mod.apply(params, x)
+    assert out.shape == (2, 4, 6, 16, 16)
+    ref = ConvNormAct(features=16, kernel=(3, 3, 3), stride=(1, 1, 1),
+                      use_pallas=False, dtype=jnp.float32).apply(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
