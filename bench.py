@@ -190,15 +190,18 @@ def main():
           file=sys.stderr)
     # inference throughput (eval forward + on-device Gaussian weighting) as
     # an extra field of the same single JSON line (BASELINE.md voxels/sec)
+    # inference has no backward: batch 8 fits in 16G and is ~9% faster
+    # than batch 4 (measured 2026-08-17); fall back on capacity failures
     infer_vps = None
-    try:
-        infer_vps = run_infer_bench(max(used_batch, 2), patch, steps=8,
-                                    warmup=2)
-        print(f"[bench] infer_voxels_per_sec={infer_vps:.3e}",
-              file=sys.stderr)
-    except Exception as e:
-        print(f"[bench] infer bench skipped: {type(e).__name__}: {e}",
-              file=sys.stderr)
+    for ib in (8, 4, 2):
+        try:
+            infer_vps = run_infer_bench(ib, patch, steps=8, warmup=2)
+            print(f"[bench] infer_voxels_per_sec={infer_vps:.3e} "
+                  f"(batch {ib})", file=sys.stderr)
+            break
+        except Exception as e:
+            print(f"[bench] infer batch {ib} failed: {type(e).__name__}",
+                  file=sys.stderr)
     print(json.dumps({
         "metric": "train_patches_per_sec_per_chip_128cubed",
         "value": round(per_chip, 3),
