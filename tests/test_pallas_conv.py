@@ -158,3 +158,72 @@ def test_s2_gradients_match_xla(x_shape, ci, co):
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
                                rtol=2e-3, atol=2e-3)
+
+
+# ----------------------------------------------------------------------
+# round-2 packed helpers: pool+proj GEMM, packed dual conv
+# ----------------------------------------------------------------------
+
+def test_pool_proj_packed_matches_avgpool_conv():
+    """_pool_proj's packed GEMM path == AvgPool(2) then 1x1 projection."""
+    from mt3d_resenc_unet_tpu.models.blocks import _pool_proj
+    from flax import linen as fnn
+    rng = np.random.default_rng(11)
+    for ci, co in ((32, 64), (64, 128)):
+        x = jnp.asarray(
+            rng.standard_normal((2, 4, 6, 128 // (128 // ci) * 2, ci))
+            .astype(np.float32))
+        k = jnp.asarray(
+            rng.standard_normal((1, 1, 1, ci, co)).astype(np.float32) * 0.2)
+        y = _pool_proj(x, k, (2, 2, 2), jnp.float32)
+        pooled = fnn.avg_pool(x, (2, 2, 2), (2, 2, 2), padding="VALID")
+        ref = jnp.dot(pooled, k.reshape(ci, co))
+        assert y.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_pool_proj_generic_fallback():
+    """Unpackable channel counts route through the tiled-kernel conv."""
+    from mt3d_resenc_unet_tpu.models.blocks import _pool_proj
+    from flax import linen as fnn
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 4, 24)).astype(np.float32))
+    k = jnp.asarray(
+        rng.standard_normal((1, 1, 1, 24, 48)).astype(np.float32) * 0.2)
+    y = _pool_proj(x, k, (2, 2, 2), jnp.float32)
+    pooled = fnn.avg_pool(x, (2, 2, 2), (2, 2, 2), padding="VALID")
+    ref = jnp.dot(pooled, k.reshape(24, 48))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_packed_dual_conv_matches_concat():
+    """Conv(packed_g) with an x2 pair == conv of the channel concat."""
+    from mt3d_resenc_unet_tpu.models.blocks import Conv
+    rng = np.random.default_rng(13)
+    c = 32
+    g = 128 // c
+    x1 = jnp.asarray(
+        rng.standard_normal((1, 6, 6, 16, c)).astype(np.float32))
+    x2 = jnp.asarray(
+        rng.standard_normal((1, 6, 6, 16, c)).astype(np.float32))
+    mod = Conv(features=c, kernel_size=(3, 3, 3), strides=(1, 1, 1),
+               padding=((1, 1),) * 3, use_pallas=True, packed_g=g,
+               dtype=jnp.float32)
+    xp1 = x1.reshape(1, 6, 6, 16 // g, g * c)
+    xp2 = x2.reshape(1, 6, 6, 16 // g, g * c)
+    params = mod.init({"params": jax.random.key(0)}, xp1, xp2)
+    yp = mod.apply(params, xp1, xp2)
+    y = np.asarray(yp).reshape(1, 6, 6, 16, c)
+    ref = _ref_conv_np(
+        np.concatenate([np.asarray(x1), np.asarray(x2)], axis=-1),
+        np.asarray(params["params"]["kernel"]))
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+
+
+def _ref_conv_np(x, w):
+    return np.asarray(jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (1, 1, 1), ((1, 1),) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32))
