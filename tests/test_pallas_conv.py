@@ -138,7 +138,7 @@ def test_s2_forward_matches_xla(x_shape, ci, co):
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("x_shape,ci,co", S2_CASES[:2])
+@pytest.mark.parametrize("x_shape,ci,co", S2_CASES)
 def test_s2_gradients_match_xla(x_shape, ci, co):
     from mt3d_resenc_unet_tpu.ops.pallas_conv import conv3d_s2
     rng = np.random.default_rng(1)
