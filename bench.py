@@ -1,12 +1,23 @@
 #!/usr/bin/env python
 """Benchmark harness: flagship-model training throughput on real hardware.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Metric: training patches/sec/chip at 128^3 (bf16 compute, fp32 params) on
 the autoconfigured nnU-Net-ResEnc-M-scale multi-task net (sheet+normals),
 full train step (fwd+bwd+clip+AdamW update) — the BASELINE.json north-star
-metric.
+metric. Extra fields of the same line:
+
+* model_tflops_per_sec / mfu — achieved FLOPs against the chip peak. The
+  analytic FLOP model is cross-checked against XLA's compiled
+  cost_analysis() every run (flops_model_vs_xla field).
+* infer_voxels_per_sec — eval forward + on-device Gaussian weighting
+  (the inference hot loop), processed patch-voxels/sec.
+* train_e2e_patches_per_sec — the REAL Trainer path (zarr dataset -> miner
+  -> augment -> prefetch -> sharded step) on a synthetic volume, sustained.
+* infer_engine_voxels_per_sec — the REAL ZarrInferenceEngine.infer() over a
+  synthetic zarr volume (model pass + host accumulation + finalize +
+  quantize), processed patch-voxels/sec, comparable to infer_voxels_per_sec.
 
 vs_baseline: the reference publishes NO numbers (BASELINE.md), so the ratio
 is against an estimated PyTorch-on-A100 throughput for the same model/patch
@@ -17,6 +28,7 @@ when A100 hardware is available; the estimate is documented in BASELINE.md.
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -25,6 +37,12 @@ import jax.numpy as jnp
 import numpy as np
 
 ESTIMATED_A100_PATCHES_PER_SEC = 10.0
+
+# usable HBM per v5e chip for the memory-analysis gate (16 GB minus runtime
+# reservation; the gate only needs to reject clear over-budget candidates
+# before wasting an execution attempt — borderline cases still fall through
+# to the try/except ladder)
+HBM_BUDGET_BYTES = int(15.2 * 2 ** 30)
 
 
 def build(batch, patch, accum=1, remat=True):
@@ -77,8 +95,45 @@ def flagship_plan(patch):
         model_name="bench", use_pallas_conv=True)
 
 
+class OverBudget(Exception):
+    pass
+
+
 def run_bench(batch, patch, steps, warmup, remat=True):
+    """Returns (patches_per_sec, n_devices_used, xla_flops_per_step|None)."""
     state, step, data = build(batch, patch, remat=remat)
+    # AOT compile so the memory analysis can reject over-budget batches
+    # BEFORE an execution attempt (VERDICT r2: probe larger batches
+    # automatically; memory wins must convert to throughput without edits)
+    xla_flops = None
+    try:
+        compiled = step.lower(state, data).compile()
+        ma = compiled.memory_analysis()
+        need = (ma.argument_size_in_bytes + ma.output_size_in_bytes +
+                ma.temp_size_in_bytes)
+        # donated args alias outputs; counting both is conservative
+        print(f"[bench] batch {batch}: compiled memory "
+              f"args={ma.argument_size_in_bytes / 2**30:.2f}G "
+              f"temps={ma.temp_size_in_bytes / 2**30:.2f}G "
+              f"total<={need / 2**30:.2f}G (budget "
+              f"{HBM_BUDGET_BYTES / 2**30:.1f}G)", file=sys.stderr)
+        if ma.temp_size_in_bytes + ma.argument_size_in_bytes \
+                > HBM_BUDGET_BYTES:
+            raise OverBudget(
+                f"batch {batch} needs {need / 2**30:.2f}G")
+        try:
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            xla_flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            pass
+    except OverBudget:
+        raise
+    except Exception as e:  # lowering/AOT quirks: fall back to implicit jit
+        print(f"[bench] AOT memory probe unavailable "
+              f"({type(e).__name__}); executing directly", file=sys.stderr)
+
     # compile + warmup; fetch the loss to force real execution (the axon
     # remote platform has been observed to elide chained async dispatches)
     for _ in range(warmup):
@@ -90,7 +145,11 @@ def run_bench(batch, patch, steps, warmup, remat=True):
         loss = float(metrics["total_loss"])  # per-step sync: honest timing
     dt = time.perf_counter() - t0
     assert np.isfinite(loss)
-    return batch * steps / dt
+    # the jitted bench step runs on the devices the (uncommitted) batch
+    # occupies — normally exactly one; normalize per-chip AND MFU by the
+    # devices actually used, not every visible device (ADVICE r2)
+    n_used = max(1, len(jax.tree.leaves(data)[0].sharding.device_set))
+    return batch * steps / dt, n_used, xla_flops
 
 
 def run_infer_bench(batch, patch, steps, warmup):
@@ -105,7 +164,7 @@ def run_infer_bench(batch, patch, steps, warmup):
         tasks=[TaskHead("sheet", 1, "sigmoid"),
                TaskHead("normals", 3, "none")],
         model_name="bench", use_pallas_conv=True, remat=False)
-    model = jaxmodel = ResEncUNet(plan=plan, dtype=jnp.bfloat16)
+    model = ResEncUNet(plan=plan, dtype=jnp.bfloat16)
     x = jnp.zeros((batch,) + patch + (1,), jnp.float32)
     params = jax.jit(lambda: model.init(
         {"params": jax.random.key(0)}, x[:1], train=False))()
@@ -129,39 +188,201 @@ def run_infer_bench(batch, patch, steps, warmup):
     return voxels / dt
 
 
+# ----------------------------------------------------------------------
+# end-to-end benches: the REAL data-fed paths (VERDICT r2 items 2-3)
+# ----------------------------------------------------------------------
+
+def _make_e2e_volume(root, shape=(256, 256, 256)):
+    """Synthetic flagship-task volume triple (image, sheet mask, normals)."""
+    from mt3d_resenc_unet_tpu.data.zio import create_zarr, encode_normals_u16
+
+    img_path = os.path.join(root, "img.zarr")
+    sheet_path = os.path.join(root, "sheet.zarr")
+    normals_path = os.path.join(root, "normals.zarr")
+    if os.path.isdir(img_path):
+        return img_path, sheet_path, normals_path
+    rng = np.random.default_rng(0)
+    zz, yy, _ = np.mgrid[0:shape[0], 0:shape[1], 0:1]
+    plane = (0.6 * yy + 0.8 * zz).astype(np.float32)  # tilted slab
+    mask2d = ((plane > 0.1 * shape[0]) & (plane < 1.2 * shape[0]))
+    mask = np.broadcast_to(mask2d, shape).astype(np.uint8)
+    chunk = tuple(min(128, s) for s in shape)
+    img = create_zarr(img_path, shape, np.uint8, chunk)
+    sheet = create_zarr(sheet_path, shape, np.uint8, chunk)
+    nvol = create_zarr(normals_path, shape + (3,), np.uint16, chunk + (3,))
+    for z0 in range(0, shape[0], chunk[0]):
+        z1 = min(z0 + chunk[0], shape[0])
+        noise = rng.integers(0, 60, (z1 - z0,) + shape[1:]).astype(np.uint8)
+        img[z0:z1] = (mask[z0:z1] * 160 + noise).astype(np.uint8)
+        sheet[z0:z1] = mask[z0:z1] * np.uint8(255)
+        nb = np.zeros((z1 - z0,) + shape[1:] + (3,), np.float32)
+        nb[mask[z0:z1] > 0] = (0.0, 0.6, 0.8)
+        nvol[z0:z1] = encode_normals_u16(nb)
+    return img_path, sheet_path, normals_path
+
+
+def run_train_e2e(batch, patch, steps_per_epoch, epochs, workdir):
+    """Sustained patches/s of the full Trainer path (dataset -> miner ->
+    augment -> prefetch -> sharded jitted step) on a synthetic zarr volume.
+    Matches the role of the reference's DataLoader-fed loop
+    (reference: train.py:109-118, 182-240)."""
+    from mt3d_resenc_unet_tpu.train.trainer import Trainer
+
+    vols = os.path.join(workdir, "vols")
+    os.makedirs(vols, exist_ok=True)
+    img, sheet, normals = _make_e2e_volume(vols)
+    cfg = {
+        "tr_setup": {"model_name": "bench_e2e", "autoconfigure": True,
+                     "tr_val_split": 0.95,
+                     "ckpt_out_base": os.path.join(workdir, "ck"),
+                     "tensorboard_log_dir": os.path.join(workdir, "lg"),
+                     "seed": 0},
+        "tr_config": {"optimizer": "AdamW", "initial_lr": 1e-3,
+                      "patch_size": list(patch), "batch_size": batch,
+                      "max_steps_per_epoch": steps_per_epoch,
+                      "max_val_steps_per_epoch": 1, "max_epoch": epochs,
+                      "num_dataloader_workers": 8,
+                      "use_pallas_conv": True},
+        "model_config": {},
+        "dataset_config": {
+            "min_bbox_percent": 0.3, "min_labeled_ratio": 0.05,
+            "use_cache": True, "cache_folder": os.path.join(workdir, "c"),
+            "in_channels": 1,
+            "volume_paths": [{"input": img, "sheet": sheet,
+                              "normals": normals, "ref_label": "sheet"}],
+            "targets": {
+                "sheet": {"channels": 1, "activation": "sigmoid",
+                          "loss_fn": "BCEDiceLoss",
+                          "loss_kwargs": {"alpha": 0.5, "beta": 0.5}},
+                "normals": {"channels": 3, "activation": "none",
+                            "loss_fn": "MaskedCosineLoss"}},
+        },
+        "inference_config": {},
+    }
+    out = Trainer(config_dict=cfg, verbose=False).train()
+    # first epoch pays compilation; report the later epochs' sustained rate
+    rates = [h["train/patches_per_sec"] for h in out["history"]]
+    return max(rates[1:]) if len(rates) > 1 else rates[0]
+
+
+def run_infer_e2e(patch, workdir, vol_shape=(512, 512, 512), batch=8):
+    """The REAL ZarrInferenceEngine.infer() end to end: jitted model pass +
+    native host accumulation + tensorstore writes + finalize + quantize
+    (reference: inference.py:117-263). Returns processed patch-voxels/s
+    (comparable to run_infer_bench) and output voxels/s."""
+    from mt3d_resenc_unet_tpu.data.positions import sliding_window_grid
+    from mt3d_resenc_unet_tpu.data.zio import create_zarr
+    from mt3d_resenc_unet_tpu.infer.engine import ZarrInferenceEngine
+    from mt3d_resenc_unet_tpu.models.network import ResEncUNet
+    from mt3d_resenc_unet_tpu.train.checkpoint import save_params
+
+    vols = os.path.join(workdir, "ivol")
+    os.makedirs(vols, exist_ok=True)
+    img_path = os.path.join(vols, "img.zarr")
+    if not os.path.isdir(img_path):
+        rng = np.random.default_rng(1)
+        chunk = tuple(min(128, s) for s in vol_shape)
+        img = create_zarr(img_path, vol_shape, np.uint8, chunk)
+        for z0 in range(0, vol_shape[0], chunk[0]):
+            z1 = min(z0 + chunk[0], vol_shape[0])
+            img[z0:z1] = rng.integers(
+                0, 255, (z1 - z0,) + vol_shape[1:]).astype(np.uint8)
+
+    ckpt = os.path.join(workdir, "iparams")
+    plan = flagship_plan(patch)
+    if not os.path.isdir(ckpt):
+        model = ResEncUNet(plan=plan, dtype=jnp.bfloat16)
+        x = jnp.zeros((1,) + patch + (1,), jnp.float32)
+        params = jax.device_get(jax.jit(lambda: model.init(
+            {"params": jax.random.key(0)}, x, train=False))()["params"])
+        save_params(ckpt, params)
+
+    overlap = 0.25
+    out_dir = os.path.join(workdir, "ipred")
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = {
+        "tr_setup": {"model_name": "bench_e2e", "autoconfigure": True},
+        "tr_config": {"patch_size": list(patch), "batch_size": batch,
+                      "use_pallas_conv": True},
+        "model_config": {},
+        "dataset_config": {
+            "in_channels": 1,
+            "targets": {"sheet": {"channels": 1, "activation": "sigmoid"},
+                        "normals": {"channels": 3, "activation": "none"}},
+            "volume_paths": []},
+        "inference_config": {
+            "checkpoint_path": ckpt, "input_path": img_path,
+            "output_path": out_dir, "overlap": overlap,
+            "patch_size": list(patch), "batch_size": batch,
+            "normalization": "standardize", "gaussian_blend": True,
+            "load_strict": False},
+    }
+    n_pos = len(sliding_window_grid(vol_shape, patch, overlap))
+    eng = ZarrInferenceEngine(config_dict=cfg)
+    t0 = time.perf_counter()
+    eng.infer()
+    dt = time.perf_counter() - t0
+    patch_voxels = n_pos * patch[0] * patch[1] * patch[2]
+    out_voxels = vol_shape[0] * vol_shape[1] * vol_shape[2]
+    return patch_voxels / dt, out_voxels / dt, dt
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--patch", type=int, nargs=3, default=[128, 128, 128])
     p.add_argument("--batch", type=int, default=0, help="0 = auto-select")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--mode", choices=["train", "infer"], default="train")
+    p.add_argument("--mode",
+                   choices=["train", "infer", "train-e2e", "infer-e2e"],
+                   default="train")
     p.add_argument("--no-remat", action="store_true",
                    help="disable block-level rematerialization")
+    p.add_argument("--no-e2e", action="store_true",
+                   help="skip the end-to-end (data-fed) benches")
+    p.add_argument("--workdir", default="/tmp/mt3d_bench")
     args = p.parse_args()
+    patch = tuple(args.patch)
 
     if args.mode == "infer":
-        b = args.batch or 4
-        v = run_infer_bench(b, tuple(args.patch), args.steps, args.warmup)
+        b = args.batch or 8
+        v = run_infer_bench(b, patch, args.steps, args.warmup)
         print(json.dumps({
-            "metric": "infer_voxels_per_sec",
-            "value": round(v, 1),
-            "unit": "voxels/s",
-            "vs_baseline": None,
-        }))
+            "metric": "infer_voxels_per_sec", "value": round(v, 1),
+            "unit": "voxels/s", "vs_baseline": None}))
         return
 
-    patch = tuple(args.patch)
-    # batch 8 and 6 deterministically exceed the 16G HBM at 128^3 (measured
-    # 2026-08-17: b6 by 1.44G); starting at 4 saves ~6 min of futile compile
-    candidates = [args.batch] if args.batch else [4, 2, 1]
+    if args.mode == "train-e2e":
+        v = run_train_e2e(args.batch or 4, patch, steps_per_epoch=15,
+                          epochs=2, workdir=args.workdir)
+        print(json.dumps({
+            "metric": "train_e2e_patches_per_sec", "value": round(v, 3),
+            "unit": "patches/s", "vs_baseline": None}))
+        return
+
+    if args.mode == "infer-e2e":
+        pvs, ovs, dt = run_infer_e2e(patch, args.workdir)
+        print(f"[bench] engine e2e: {dt:.1f}s total "
+              f"({ovs:.3e} output voxels/s)", file=sys.stderr)
+        print(json.dumps({
+            "metric": "infer_engine_voxels_per_sec", "value": round(pvs, 1),
+            "unit": "voxels/s", "vs_baseline": None}))
+        return
+
+    # batch 8 deterministically exceeds the 16G HBM at 128^3; 6 is probed
+    # each run via the compile-time memory analysis (cheap rejection) so
+    # future memory wins convert to throughput automatically (VERDICT r2)
+    candidates = [args.batch] if args.batch else [6, 4, 2, 1]
     value = None
     used_batch = None
+    n_used = 1
+    xla_flops = None
     errors = []
     for i, b in enumerate(candidates):
         try:
-            value = run_bench(b, patch, args.steps, args.warmup,
-                              remat=not args.no_remat)
+            value, n_used, xla_flops = run_bench(
+                b, patch, args.steps, args.warmup, remat=not args.no_remat)
             used_batch = b
             break
         except Exception as e:
@@ -176,15 +397,26 @@ def main():
             print(f"[bench] batch {b} failed ({type(e).__name__}), "
                   f"trying smaller", file=sys.stderr)
 
-    n_chips = max(1, len(jax.devices()))
-    per_chip = value / n_chips
+    per_chip = value / n_used
     # achieved TFLOP/s + MFU against the machine (not the estimated-GPU
-    # ratio): analytic model FLOPs, utils/flops.py
+    # ratio): analytic model FLOPs, utils/flops.py, normalized by the
+    # devices the step actually ran on (ADVICE r2)
     from mt3d_resenc_unet_tpu.utils.flops import (
         V5E_PEAK_BF16_TFLOPS, mfu, train_step_flops)
     fl = train_step_flops(flagship_plan(patch))
-    tflops, util = mfu(value, fl)
-    print(f"[bench] batch={used_batch} patch={patch} devices={n_chips} "
+    tflops, util = mfu(value, fl, n_devices=n_used)
+    # ground the MFU denominator against XLA's own compiled cost analysis
+    # (VERDICT r2 item 8); XLA counts the executed ops (incl. structural
+    # zeros of banded kernels and remat recompute), the model counts ideal
+    # conv FLOPs — agreement within ~2x is expected, drift beyond says the
+    # analytic model rotted
+    flops_ratio = None
+    if xla_flops:
+        flops_ratio = (fl * used_batch) / xla_flops
+        print(f"[bench] analytic step flops={fl * used_batch:.3e} "
+              f"xla cost_analysis={xla_flops:.3e} "
+              f"(model/xla={flops_ratio:.3f})", file=sys.stderr)
+    print(f"[bench] batch={used_batch} patch={patch} devices_used={n_used} "
           f"model_tflops_per_sec={tflops:.1f} "
           f"mfu={100 * util:.1f}% (peak {V5E_PEAK_BF16_TFLOPS:.0f} TF/s bf16)",
           file=sys.stderr)
@@ -202,6 +434,29 @@ def main():
         except Exception as e:
             print(f"[bench] infer batch {ib} failed: {type(e).__name__}",
                   file=sys.stderr)
+
+    # end-to-end (data-fed) numbers — the proof the host pipeline feeds the
+    # chip (VERDICT r2 items 2-3); failures degrade to null, never kill the
+    # canonical line
+    e2e_train = e2e_infer = None
+    if not args.no_e2e:
+        try:
+            e2e_train = run_train_e2e(used_batch, patch, steps_per_epoch=15,
+                                      epochs=2, workdir=args.workdir)
+            print(f"[bench] train_e2e={e2e_train:.3f} patches/s "
+                  f"({100 * e2e_train / per_chip:.0f}% of step-only)",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] train e2e failed: {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr)
+        try:
+            e2e_infer, _, _ = run_infer_e2e(patch, args.workdir)
+            print(f"[bench] infer_engine={e2e_infer:.3e} voxels/s",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] infer e2e failed: {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "train_patches_per_sec_per_chip_128cubed",
         "value": round(per_chip, 3),
@@ -209,8 +464,14 @@ def main():
         "vs_baseline": round(per_chip / ESTIMATED_A100_PATCHES_PER_SEC, 3),
         "model_tflops_per_sec": round(tflops, 1),
         "mfu": round(util, 4),
+        "flops_model_vs_xla": (round(flops_ratio, 3)
+                               if flops_ratio else None),
         "infer_voxels_per_sec": (round(infer_vps, 1)
                                  if infer_vps is not None else None),
+        "train_e2e_patches_per_sec": (round(e2e_train, 3)
+                                      if e2e_train is not None else None),
+        "infer_engine_voxels_per_sec": (round(e2e_infer, 1)
+                                        if e2e_infer is not None else None),
     }))
 
 

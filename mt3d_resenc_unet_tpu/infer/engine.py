@@ -75,6 +75,10 @@ class _RollingAccumulator:
         depth = patch_z * 2
         self.sum = np.zeros((channels, depth, self.ymax, self.xmax), np.float32)
         self.cnt = np.zeros((depth, self.ymax, self.xmax), np.float32)
+        # actual peak allocation (patches arrive in sorted z order, so the
+        # live slab is bounded by patch_z + z_step <= 2*patch_z; tracked so
+        # the engine's RAM-budget accounting reflects reality, not estimate)
+        self.peak_bytes = self.sum.nbytes + self.cnt.nbytes
         self._pending: List[Any] = []
 
     def _grow_to(self, z_end: int) -> None:
@@ -87,6 +91,8 @@ class _RollingAccumulator:
             self.cnt = np.concatenate(
                 [self.cnt, np.zeros((extra, self.ymax, self.xmax),
                                     np.float32)], axis=0)
+        self.peak_bytes = max(self.peak_bytes,
+                              self.sum.nbytes + self.cnt.nbytes)
 
     def add(self, z: int, y: int, x: int, weighted_pred: np.ndarray,
             weight: np.ndarray) -> None:
@@ -218,6 +224,7 @@ class ZarrInferenceEngine:
 
     # ------------------------------------------------------------------
     def infer(self) -> str:
+        from ..parallel.distributed import is_main_process, sync_global_devices
         mgr = self.mgr
         store_path = os.path.join(mgr.infer_output_path, "predictions.zarr")
         targets = mgr.infer_output_targets
@@ -225,10 +232,15 @@ class ZarrInferenceEngine:
         if not self.postprocess_only:
             self._run_model_pass(store_path, targets)
 
-        finalize_overlaps(store_path, targets)
-        quantize_final(store_path, targets)
-        if self.write_layers:
-            export_z_slices(store_path, targets, mgr.infer_output_path)
+        # every process must have written its tiles before postprocessing;
+        # one writer finalizes (the sums are a single shared store)
+        sync_global_devices("infer_model_pass_done")
+        if is_main_process():
+            finalize_overlaps(store_path, targets)
+            quantize_final(store_path, targets)
+            if self.write_layers:
+                export_z_slices(store_path, targets, mgr.infer_output_path)
+        sync_global_devices("infer_postprocess_done")
         return store_path
 
     # ------------------------------------------------------------------
@@ -262,21 +274,31 @@ class ZarrInferenceEngine:
             wmap = uniform_map(patch)
         wmap_dev = jnp.asarray(wmap)
 
-        # shard the patch batch over the devices; replicate params
-        n_dev = max(1, len(jax.devices()))
+        # shard the patch batch over this process's LOCAL devices; replicate
+        # params. Inference needs no cross-host collectives (each process
+        # owns disjoint tiles, _run_model_pass_tiled), so every process runs
+        # an independent local mesh — and a host batch can only be
+        # device_put onto addressable devices, so the global device count
+        # would be wrong here. Honors tr_config.mesh_shape / dp_axis the way
+        # the trainer does for single-process runs.
+        local = jax.local_devices()
+        n_dev = max(1, len(local))
         batch_size = mgr.infer_batch_size
         if n_dev > 1:
             from ..parallel.mesh import (batch_sharding, make_mesh,
                                          pad_batch_to_devices,
                                          replicated_sharding)
-            mesh = make_mesh((n_dev,), ("data",))
-            bsh = batch_sharding(mesh, "data")
+            if jax.process_count() == 1:
+                mesh = make_mesh(mgr.mesh_shape, (mgr.dp_axis,))
+            else:
+                mesh = make_mesh(None, (mgr.dp_axis,), devices=local)
+            bsh = batch_sharding(mesh, mgr.dp_axis)
             rep = replicated_sharding(mesh)
             params = jax.device_put(params, rep)
-            bs = pad_batch_to_devices(batch_size, n_dev)
+            bs = pad_batch_to_devices(batch_size, mesh.devices.size)
             if bs != batch_size:
                 print(f"[infer] batch_size {batch_size} rounded up to {bs} "
-                      f"for {n_dev}-device inference")
+                      f"for {mesh.devices.size}-device inference")
                 batch_size = bs
         else:
             bsh = None
@@ -329,7 +351,9 @@ class ZarrInferenceEngine:
         input_vol = open_zarr(mgr.infer_input_path)
         in_shape = input_vol.shape[-3:]
         patch = tuple(mgr.infer_patch_size)
-        needs_tiles = (self.resume or
+        # multi-process runs always tile: tiles partition cleanly across
+        # processes, while the rolling z-sweep is inherently sequential
+        needs_tiles = (self.resume or jax.process_count() > 1 or
                        self._rolling_slab_bytes(targets, in_shape, patch)
                        > budget)
         if needs_tiles:
@@ -357,9 +381,6 @@ class ZarrInferenceEngine:
                                                  in_shape, patch)
             accums[name] = _RollingAccumulator(sum_vol, cnt_vol, c, in_shape,
                                                patch[0])
-        self.max_slab_bytes = max(
-            self.max_slab_bytes,
-            self._rolling_slab_bytes(targets, in_shape, patch))
 
         # host pipeline: a thread pool reads/normalizes the NEXT batch while
         # the device runs the current one (the reference used DataLoader
@@ -401,6 +422,10 @@ class ZarrInferenceEngine:
 
         for acc in accums.values():
             acc.finish()
+        # record the REAL peak allocation (must stay within the static
+        # _rolling_slab_bytes budget estimate used for mode selection)
+        self.max_slab_bytes = max(self.max_slab_bytes,
+                                  sum(a.peak_bytes for a in accums.values()))
         print(f"[infer] model pass complete: {n} patches -> {store_path}")
 
     @staticmethod
@@ -431,7 +456,10 @@ class ZarrInferenceEngine:
         they touch (only their intersecting slice is accumulated); tiles are
         sized >> patch so the duplicated forward fraction stays small.
         """
+        from ..parallel.distributed import sync_global_devices
         mgr = self.mgr
+        rank = jax.process_index()
+        n_proc = jax.process_count()
         (params, forward, read_patch, positions, patch, in_shape, wmap,
          batch_size) = self._setup_model_pass(targets)
         zmax, ymax, xmax = in_shape
@@ -445,8 +473,14 @@ class ZarrInferenceEngine:
         tiles = [(z0, min(z0 + tz, zmax), y0, min(y0 + band, ymax))
                  for z0 in range(0, zmax, tz)
                  for y0 in range(0, ymax, band)]
+        # multi-host partition: each process owns a disjoint round-robin
+        # subset of tiles (tiles write disjoint store regions, so no write
+        # races); the progress watermark is per-process
+        my_tiles = tiles[rank::n_proc] if n_proc > 1 else tiles
+        progress_name = (".model_pass_progress.json" if n_proc == 1
+                         else f".model_pass_progress.p{rank}.json")
+        progress_path = os.path.join(store_path, progress_name)
 
-        progress_path = os.path.join(store_path, ".model_pass_progress.json")
         done_tiles = set()
         if self.resume and os.path.exists(progress_path):
             import json
@@ -458,19 +492,36 @@ class ZarrInferenceEngine:
                     "--resume: existing progress file was written for a "
                     "different volume/patch/overlap configuration")
             done_tiles = {tuple(t) for t in prog.get("tiles_done", [])}
-            print(f"[infer] resuming: {len(done_tiles)}/{len(tiles)} tiles "
-                  f"already complete")
+            print(f"[infer] resuming: {len(done_tiles)}/{len(my_tiles)} "
+                  f"tiles already complete")
+        elif self.resume and os.path.isdir(store_path):
+            # rolling-mode runs leave no progress file; resuming them would
+            # silently double-count (ADVICE r2: resume dead-end)
+            raise RuntimeError(
+                f"--resume: '{store_path}' exists but has no "
+                f"{progress_name} watermark — it was written by a "
+                "rolling-mode (in-RAM) model pass, which cannot be resumed. "
+                "Delete the store and rerun.")
         elif os.path.isdir(store_path):
             raise FileExistsError(
                 f"Zarr store '{store_path}' already exists. "
                 "Aborting to prevent overwrite (pass --resume to continue "
-                "an interrupted run).")
+                "an interrupted tiled run).")
 
+        # single writer creates the stores; everyone else opens them
         vols = {}
-        for name, info in targets.items():
-            c = int(info["channels"])
-            vols[name] = _create_sum_count(store_path, name, c, in_shape,
-                                           patch, open_existing=self.resume)
+        if rank == 0:
+            for name, info in targets.items():
+                c = int(info["channels"])
+                vols[name] = _create_sum_count(store_path, name, c, in_shape,
+                                               patch,
+                                               open_existing=self.resume)
+        sync_global_devices("infer_stores_created")
+        if rank != 0:
+            for name, info in targets.items():
+                c = int(info["channels"])
+                vols[name] = _create_sum_count(store_path, name, c, in_shape,
+                                               patch, open_existing=True)
 
         def _write_progress():
             import json
@@ -485,7 +536,7 @@ class ZarrInferenceEngine:
         pool = ThreadPoolExecutor(
             max_workers=max(1, mgr.infer_num_dataloader_workers))
         try:
-            for tile in tiles:
+            for tile in my_tiles:
                 tz0, tz1, ty0, ty1 = tile
                 if tile in done_tiles:
                     continue
@@ -550,12 +601,12 @@ class ZarrInferenceEngine:
                 _write_progress()
                 print(f"[infer] tile z[{tz0}:{tz1}] y[{ty0}:{ty1}]: "
                       f"{len(tile_pos)} patches "
-                      f"({len(done_tiles)}/{len(tiles)} tiles)")
+                      f"({len(done_tiles)}/{len(my_tiles)} tiles)")
                 if self.tile_callback is not None:
                     self.tile_callback(tile)
         finally:
             pool.shutdown(wait=False, cancel_futures=True)
-        print(f"[infer] tiled model pass complete: {len(tiles)} tiles -> "
+        print(f"[infer] tiled model pass complete: {len(my_tiles)} tiles -> "
               f"{store_path}")
 
 

@@ -165,7 +165,11 @@ class CrossEntropyLoss:
 
     def __call__(self, pred, target):
         pred = pred.astype(jnp.float32)
-        if target.shape != pred.shape:
+        # integer dtype decides index-vs-dense (not shape alone: a C==1 head
+        # with (N,...,1) integer targets would otherwise be silently treated
+        # as dense soft targets)
+        if (jnp.issubdtype(target.dtype, jnp.integer)
+                or target.shape != pred.shape):
             target = expand_as_one_hot(target, pred.shape[-1])
         else:
             target = target.astype(jnp.float32)

@@ -69,9 +69,12 @@ def build_optimizer(
 
 
 def _downsample_target(t: jax.Array, factor: Tuple[int, ...]) -> jax.Array:
-    """Strided subsampling of a dense target for deep supervision."""
-    idx = (slice(None),) + tuple(slice(None, None, f) for f in factor) \
-        + (slice(None),)
+    """Strided subsampling of a target for deep supervision. Handles both
+    channel-last dense targets ``(N, *spatial, C)`` and channel-less integer
+    index targets ``(N, *spatial)`` (the CE index form)."""
+    idx = (slice(None),) + tuple(slice(None, None, f) for f in factor)
+    if t.ndim == len(factor) + 2:   # trailing channel axis present
+        idx = idx + (slice(None),)
     return t[idx]
 
 
@@ -149,8 +152,13 @@ def make_train_step(
                 # microbatch, so the per-microbatch slice stays device-local
                 # (a plain (accum, micro) reshape would make microbatch k a
                 # contiguous block living on a subset of devices and force an
-                # all-to-all each scan iteration). The accumulated gradient
-                # over the full batch is identical either way.
+                # all-to-all each scan iteration). For per-voxel additive
+                # losses (BCE/CE/MSE) the accumulated gradient is identical
+                # either way; Dice-family losses pool statistics over the
+                # whole microbatch (reference flatten, losses.py), so
+                # regrouping changes them slightly — but the reference's own
+                # contiguous microbatching has the same property under its
+                # shuffled sampler, so this is a wash, not a divergence.
                 micro = x.shape[0] // grad_accum_steps
                 x = x.reshape((micro, grad_accum_steps) + x.shape[1:])
                 return jnp.swapaxes(x, 0, 1)

@@ -208,7 +208,7 @@ class Trainer:
             else:
                 host_step_samples = step_samples
 
-            running = {t: 0.0 for t in mgr.tasks}
+            running = None  # device-side loss sums (no per-step host sync)
             steps = 0
             t_start = time.time()
             batches = batch_iterator(
@@ -225,14 +225,21 @@ class Trainer:
                 if profile_dir and epoch == start_epoch and steps == 6:
                     jax.block_until_ready(metrics)
                     jax.profiler.stop_trace()
-                for t in mgr.tasks:
-                    running[t] += float(metrics[t])
+                # accumulate losses ON DEVICE: a float() here would block the
+                # host on every step (a full round-trip on the tunneled TPU)
+                # and cap pipelining; the async add keeps the dispatch queue
+                # full, and the single fetch happens at epoch end.
+                running = metrics if running is None else jax.tree.map(
+                    jnp.add, running, metrics)
                 if steps >= opt_steps_per_epoch:
                     break
-            dt = time.time() - t_start
             if steps == 0:
                 raise RuntimeError("No training batches produced — "
                                    "check dataset/patch mining results")
+            # the fetch below transitively waits for every step of the epoch,
+            # so the throughput clock stops only after real device completion
+            running = {t: float(running[t]) for t in mgr.tasks}
+            dt = time.time() - t_start
 
             epoch_means = {f"train/{t}_loss": running[t] / steps
                            for t in mgr.tasks}

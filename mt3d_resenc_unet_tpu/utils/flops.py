@@ -98,7 +98,10 @@ def train_step_flops(plan: NetworkPlan, patch_size=None) -> int:
 
 
 def mfu(patches_per_sec: float, flops_per_patch: int,
-        peak_tflops: float = V5E_PEAK_BF16_TFLOPS) -> Tuple[float, float]:
-    """Returns (achieved_tflops, mfu_fraction)."""
+        peak_tflops: float = V5E_PEAK_BF16_TFLOPS,
+        n_devices: int = 1) -> Tuple[float, float]:
+    """Returns (achieved_tflops, mfu_fraction). ``patches_per_sec`` is the
+    aggregate rate over ``n_devices`` chips; MFU normalizes by the aggregate
+    peak so per-chip and MFU figures stay consistent (ADVICE r2)."""
     achieved = patches_per_sec * flops_per_patch / 1e12
-    return achieved, achieved / peak_tflops
+    return achieved, achieved / (peak_tflops * max(1, n_devices))

@@ -131,6 +131,28 @@ def test_resume_bit_identical(setup, tmp_path):
         np.testing.assert_array_equal(a, b, err_msg=ds)
 
 
+def test_rolling_budget_covers_actual_peak_at_high_overlap(setup, tmp_path):
+    """overlap > 0.5 makes z-steps < patch_z/2; the static slab estimate used
+    for rolling-vs-tiled mode selection must still bound the REAL peak
+    allocation (max_slab_bytes now tracks actual numpy allocations)."""
+    cfg = _cfg(setup, tmp_path / "hov")
+    cfg["inference_config"]["overlap"] = 0.6
+    eng = ZarrInferenceEngine(config_dict=cfg)
+    eng.infer()
+    est = eng._rolling_slab_bytes(eng.mgr.infer_output_targets,
+                                  (40, 40, 40), (16, 16, 16))
+    assert 0 < eng.max_slab_bytes <= est
+
+
+def test_rolling_store_cannot_resume(setup, tmp_path):
+    """A rolling-mode store has no tile watermark; --resume must fail with a
+    clear error instead of the tiled path's misleading FileExistsError."""
+    cfg = _cfg(setup, tmp_path / "roll2")
+    ZarrInferenceEngine(config_dict=cfg).infer()
+    with pytest.raises(RuntimeError, match="rolling-mode"):
+        ZarrInferenceEngine(config_dict=cfg, resume=True).infer()
+
+
 def test_fresh_run_still_guards_overwrite(setup, tmp_path):
     cfg = _cfg(setup, tmp_path / "o", budget_gb=_TILE_BUDGET_GB)
     ZarrInferenceEngine(config_dict=cfg).infer()
