@@ -221,7 +221,8 @@ def _make_e2e_volume(root, shape=(256, 256, 256)):
     return img_path, sheet_path, normals_path
 
 
-def run_train_e2e(batch, patch, steps_per_epoch, epochs, workdir):
+def run_train_e2e(batch, patch, steps_per_epoch, epochs, workdir,
+                  vol_shape=(256, 256, 256)):
     """Sustained patches/s of the full Trainer path (dataset -> miner ->
     augment -> prefetch -> sharded jitted step) on a synthetic zarr volume.
     Matches the role of the reference's DataLoader-fed loop
@@ -230,7 +231,7 @@ def run_train_e2e(batch, patch, steps_per_epoch, epochs, workdir):
 
     vols = os.path.join(workdir, "vols")
     os.makedirs(vols, exist_ok=True)
-    img, sheet, normals = _make_e2e_volume(vols)
+    img, sheet, normals = _make_e2e_volume(vols, vol_shape)
     cfg = {
         "tr_setup": {"model_name": "bench_e2e", "autoconfigure": True,
                      "tr_val_split": 0.95,
@@ -241,8 +242,7 @@ def run_train_e2e(batch, patch, steps_per_epoch, epochs, workdir):
                       "patch_size": list(patch), "batch_size": batch,
                       "max_steps_per_epoch": steps_per_epoch,
                       "max_val_steps_per_epoch": 1, "max_epoch": epochs,
-                      "num_dataloader_workers": 8,
-                      "use_pallas_conv": True},
+                      "num_dataloader_workers": 8},
         "model_config": {},
         "dataset_config": {
             "min_bbox_percent": 0.3, "min_labeled_ratio": 0.05,
@@ -303,8 +303,7 @@ def run_infer_e2e(patch, workdir, vol_shape=(512, 512, 512), batch=8):
     shutil.rmtree(out_dir, ignore_errors=True)
     cfg = {
         "tr_setup": {"model_name": "bench_e2e", "autoconfigure": True},
-        "tr_config": {"patch_size": list(patch), "batch_size": batch,
-                      "use_pallas_conv": True},
+        "tr_config": {"patch_size": list(patch), "batch_size": batch},
         "model_config": {},
         "dataset_config": {
             "in_channels": 1,
@@ -342,6 +341,10 @@ def main():
     p.add_argument("--no-e2e", action="store_true",
                    help="skip the end-to-end (data-fed) benches")
     p.add_argument("--workdir", default="/tmp/mt3d_bench")
+    p.add_argument("--train-vol", type=int, nargs=3,
+                   default=[256, 256, 256])
+    p.add_argument("--infer-vol", type=int, nargs=3,
+                   default=[512, 512, 512])
     args = p.parse_args()
     patch = tuple(args.patch)
 
@@ -355,14 +358,16 @@ def main():
 
     if args.mode == "train-e2e":
         v = run_train_e2e(args.batch or 4, patch, steps_per_epoch=15,
-                          epochs=2, workdir=args.workdir)
+                          epochs=2, workdir=args.workdir,
+                          vol_shape=tuple(args.train_vol))
         print(json.dumps({
             "metric": "train_e2e_patches_per_sec", "value": round(v, 3),
             "unit": "patches/s", "vs_baseline": None}))
         return
 
     if args.mode == "infer-e2e":
-        pvs, ovs, dt = run_infer_e2e(patch, args.workdir)
+        pvs, ovs, dt = run_infer_e2e(patch, args.workdir,
+                                     vol_shape=tuple(args.infer_vol))
         print(f"[bench] engine e2e: {dt:.1f}s total "
               f"({ovs:.3e} output voxels/s)", file=sys.stderr)
         print(json.dumps({
@@ -442,7 +447,8 @@ def main():
     if not args.no_e2e:
         try:
             e2e_train = run_train_e2e(used_batch, patch, steps_per_epoch=15,
-                                      epochs=2, workdir=args.workdir)
+                                      epochs=2, workdir=args.workdir,
+                                      vol_shape=tuple(args.train_vol))
             print(f"[bench] train_e2e={e2e_train:.3f} patches/s "
                   f"({100 * e2e_train / per_chip:.0f}% of step-only)",
                   file=sys.stderr)
@@ -450,7 +456,8 @@ def main():
             print(f"[bench] train e2e failed: {type(e).__name__}: "
                   f"{str(e)[:300]}", file=sys.stderr)
         try:
-            e2e_infer, _, _ = run_infer_e2e(patch, args.workdir)
+            e2e_infer, _, _ = run_infer_e2e(patch, args.workdir,
+                                            vol_shape=tuple(args.infer_vol))
             print(f"[bench] infer_engine={e2e_infer:.3e} voxels/s",
                   file=sys.stderr)
         except Exception as e:

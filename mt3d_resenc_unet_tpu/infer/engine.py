@@ -508,6 +508,11 @@ class ZarrInferenceEngine:
                 "Aborting to prevent overwrite (pass --resume to continue "
                 "an interrupted tiled run).")
 
+        # every process has validated the PRE-EXISTING store state above;
+        # barrier BEFORE creation, or a slow process would see rank 0's
+        # fresh store and misread it as an overwrite hazard
+        sync_global_devices("infer_guard_checked")
+
         # single writer creates the stores; everyone else opens them
         vols = {}
         if rank == 0:
@@ -563,13 +568,8 @@ class ZarrInferenceEngine:
                     return bp, np.stack(arrs)
 
                 window = 3
-                futs = {b: pool.submit(make_batch, b)
-                        for b in range(min(window, n_batches))}
-                for b in range(n_batches):
-                    bp, host_batch = futs.pop(b).result()
-                    if b + window < n_batches:
-                        futs[b + window] = pool.submit(make_batch, b + window)
-                    weighted = jax.device_get(forward(params, host_batch))
+
+                def _accumulate(bp, weighted):
                     for i, (z, y, x) in enumerate(bp):
                         iz0, iz1 = max(z, tz0), min(z + pz, tz1)
                         iy0, iy1 = max(y, ty0), min(y + py, ty1)
@@ -581,6 +581,22 @@ class ZarrInferenceEngine:
                             s, cn = slabs[name]
                             s[(slice(None),) + ssl] += pred[(slice(None),) + wsl]
                             cn[ssl] += wmap[wsl]
+
+                # host accumulation of batch b-1 overlaps the device forward
+                # of batch b (same double-buffering as the rolling path)
+                futs = {b: pool.submit(make_batch, b)
+                        for b in range(min(window, n_batches))}
+                pending = None
+                for b in range(n_batches):
+                    bp, host_batch = futs.pop(b).result()
+                    if b + window < n_batches:
+                        futs[b + window] = pool.submit(make_batch, b + window)
+                    dev_out = forward(params, host_batch)
+                    if pending is not None:
+                        _accumulate(pending[0], jax.device_get(pending[1]))
+                    pending = (bp, dev_out)
+                if pending is not None:
+                    _accumulate(pending[0], jax.device_get(pending[1]))
 
                 # plain writes into the tile's exclusive region (idempotent)
                 futs_w = []

@@ -31,8 +31,12 @@ from ..ops.gemm_conv import (conv3d_stem_cf, conv3d_tapsum, stem_supported,
                              tapsum_supported)
 from ..ops.instance_norm import (_instance_norm_act_impl,
                                  instance_norm_act_packed,
-                                 instance_norm_act_packed_io)
-from ..ops.pallas_conv import (conv3d_packed, conv3d_s2, conv3d_small_c,
+                                 instance_norm_act_packed_io,
+                                 norm_apply_packed, packed_stats_xla,
+                                 stats_to_scale_shift)
+from ..ops.pallas_conv import (conv3d_packed, conv3d_packed_ns,
+                               conv3d_packed_stats, conv3d_s2,
+                               conv3d_small_c,
                                is_supported as _pallas_conv_ok,
                                s2_supported as _pallas_s2_ok)
 
@@ -54,6 +58,7 @@ class Conv(nn.Module):
     packed_g: int = 0     # >0: x is packed (N,D,H,W/g,g*ci); returns packed
     packed_out: bool = False  # stem path may return packed (caller checks)
     pre_pool: Tuple[int, ...] = ()  # fused AvgPool(s) before a 1x1 conv
+    negative_slope: float = 1e-2  # LeakyReLU slope of the fused pre-op
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -94,7 +99,7 @@ class Conv(nn.Module):
             dimension_numbers=spec, preferred_element_type=self.dtype)
 
     @nn.compact
-    def __call__(self, x, x2=None):
+    def __call__(self, x, x2=None, pre=None, emit_stats: bool = False):
         if self.packed_g:
             g = self.packed_g
             ci = x.shape[-1] // g
@@ -103,18 +108,37 @@ class Conv(nn.Module):
             kernel = self.param("kernel", nn.initializers.he_normal(),
                                 kshape, self.param_dtype)
             kk = kernel.astype(self.dtype)
+            st = None
             if x2 is None:
-                y = conv3d_packed(x.astype(self.dtype), kk, g)
+                xd = x.astype(self.dtype)
+                if pre is not None:
+                    # previous conv's instance norm + LeakyReLU applied
+                    # tile-wise INSIDE this conv's kernel (fused pipeline)
+                    y, st = conv3d_packed_ns(xd, kk, pre[0], pre[1], g,
+                                             self.negative_slope)
+                elif emit_stats:
+                    y, st = conv3d_packed_stats(xd, kk, g)
+                else:
+                    y = conv3d_packed(xd, kk, g)
             else:
-                # packed split-weight pair (decoder skip concat, packed io)
+                # packed split-weight pair (decoder skip concat, packed io);
+                # kernel stats of the halves cannot combine (sumsq of a sum),
+                # so stats fall back to one XLA reduction pass
+                assert pre is None
                 y = (conv3d_packed(x.astype(self.dtype), kk[..., :ci, :], g)
                      + conv3d_packed(x2.astype(self.dtype), kk[..., ci:, :],
                                      g))
+                if emit_stats:
+                    st = packed_stats_xla(y)
             if self.use_bias:
+                # kernel stats are pre-bias — callers only fuse bias-free
+                # convs (the architecture default, conv_bias=False)
+                assert st is None
                 bias = self.param("bias", nn.initializers.zeros,
                                   (self.features,), self.param_dtype)
                 y = y + jnp.tile(bias.astype(self.dtype), g)
-            return y
+            return (y, st) if emit_stats else y
+        assert pre is None and not emit_stats  # fusions are packed-path only
         ci = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         kshape = tuple(self.kernel_size) + (ci, self.features)
         kernel = self.param("kernel", nn.initializers.he_normal(),
@@ -276,7 +300,8 @@ class ConvNormAct(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, residual=None, x2=None):
+    def __call__(self, x, train: bool = False, residual=None, x2=None,
+                 pre=None, fused_stats: bool = False):
         in_shape = x.shape
         x = Conv(
             features=self.features,
@@ -289,10 +314,18 @@ class ConvNormAct(nn.Module):
             packed_out=(self.norm and not self.packed_g
                         and self.dropout_p == 0.0),
             pre_pool=self.pre_pool,
+            negative_slope=self.negative_slope,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",
-        )(x, x2)
+        )(x, x2, pre=pre, emit_stats=fused_stats)
+        if fused_stats:
+            # fused pipeline: the caller applies this conv's norm via the
+            # emitted stats (as the next conv's pre-op or a tail pass); the
+            # norm module would hold no params anyway (affine=False only)
+            assert self.norm and not self.norm_affine \
+                and self.dropout_p == 0.0
+            return x
         if not self.packed_g and x.ndim == 5 and x.shape[-1] != self.features:
             # the stem path emitted the x-packed layout: norm packed, then
             # unpack (the unpack cancels with the next stage's pack)
@@ -432,13 +465,31 @@ class BasicBlockD(nn.Module):
         if self.packed_g:
             # identity skip; conv -> norm+act -> conv -> norm+add+act, all
             # on the packed layout (no lane padding, no boundary relayouts)
+            g = self.packed_g
             pk = dict(features=self.features, kernel=self.kernel,
                       stride=(1,) * len(self.stride),
                       use_bias=self.conv_bias,
                       norm_affine=self.norm_affine, norm_eps=self.norm_eps,
                       negative_slope=self.negative_slope,
-                      use_pallas=True, packed_g=self.packed_g,
+                      use_pallas=True, packed_g=g,
                       dtype=self.dtype, param_dtype=self.param_dtype)
+            if (not self.conv_bias and not self.norm_affine
+                    and self.dropout_p == 0.0):
+                # FUSED pipeline: conv1 emits its output's IN statistics
+                # in-kernel; conv2 applies conv1's norm+act tile-wise as its
+                # pre-op AND emits its own stats; one elementwise tail pass
+                # does norm2 + residual add + LeakyReLU. Zero standalone
+                # stats passes, one apply pass per block (was two of each).
+                _, d_, h_, wg_, _ = x.shape
+                count = d_ * h_ * wg_ * g
+                y1, s1 = ConvNormAct(act=True, name="conv1", **pk)(
+                    x, train, fused_stats=True)
+                a1, b1 = stats_to_scale_shift(s1, g, count, self.norm_eps)
+                y2, s2 = ConvNormAct(act=True, name="conv2", **pk)(
+                    y1, train, pre=(a1, b1), fused_stats=True)
+                a2, b2 = stats_to_scale_shift(s2, g, count, self.norm_eps)
+                return norm_apply_packed(y2, a2, b2, self.negative_slope,
+                                         act=True, residual=x)
             out = ConvNormAct(act=True, dropout_p=self.dropout_p,
                               name="conv1", **pk)(x, train)
             return ConvNormAct(act=True, name="conv2", **pk)(out, train, x)
@@ -663,16 +714,40 @@ class StackedConvBlocks(nn.Module):
             xp = x.reshape(n, d, h, w // g, g * c)
             xp2 = (x2.reshape(n, d, h, w // g, g * c)
                    if x2 is not None else None)
+            pk = dict(features=c, kernel=self.kernel, stride=ones,
+                      use_bias=self.conv_bias, norm_affine=self.norm_affine,
+                      norm_eps=self.norm_eps, act=True,
+                      negative_slope=self.negative_slope,
+                      use_pallas=True, packed_g=g,
+                      dtype=self.dtype, param_dtype=self.param_dtype)
+            if (not self.conv_bias and not self.norm_affine
+                    and self.dropout_p == 0.0):
+                # FUSED chain (see BasicBlockD): each conv emits its stats
+                # in-kernel and applies the previous conv's norm+act as its
+                # pre-op; one elementwise tail pass finishes the stack.
+                # conv0's split (up, skip) pair falls back to an XLA stats
+                # reduction (halves' sumsq don't combine) but still skips
+                # the standalone apply pass.
+                cls = nn.remat(ConvNormAct, static_argnums=(2, 6)) \
+                    if self.remat and _remat_worthwhile(x) else ConvNormAct
+                count = d * h * (w // g) * g
+                y, st = xp, None
+                for i in range(self.n_convs):
+                    pre_i = (stats_to_scale_shift(st, g, count,
+                                                  self.norm_eps)
+                             if st is not None else None)
+                    y, st = cls(name=f"conv{i}", **pk)(
+                        y, train, None, xp2 if i == 0 else None,
+                        pre_i, True)
+                a, b = stats_to_scale_shift(st, g, count, self.norm_eps)
+                y = norm_apply_packed(y, a, b, self.negative_slope,
+                                      act=True)
+                return y.reshape(n, d, h, w, c)
             for i in range(self.n_convs):
                 xp = conv_cls(
-                    features=c, kernel=self.kernel, stride=ones,
-                    use_bias=self.conv_bias, norm_affine=self.norm_affine,
-                    norm_eps=self.norm_eps, act=True,
-                    negative_slope=self.negative_slope,
-                    dropout_p=self.dropout_p, use_pallas=True, packed_g=g,
-                    dtype=self.dtype, param_dtype=self.param_dtype,
-                    name=f"conv{i}")(xp, train, None,
-                                     xp2 if i == 0 else None)
+                    dropout_p=self.dropout_p,
+                    name=f"conv{i}", **pk)(xp, train, None,
+                                           xp2 if i == 0 else None)
             return xp.reshape(n, d, h, w, c)
         for i in range(self.n_convs):
             x = conv_cls(

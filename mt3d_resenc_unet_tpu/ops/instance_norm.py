@@ -86,6 +86,54 @@ def instance_norm_act_packed_io(xp, g: int, scale, bias, eps,
     return y
 
 
+def stats_to_scale_shift(stats, g: int, count: int, eps: float,
+                         scale=None, bias=None):
+    """Kernel-emitted packed stats (N, 2, g*C) fp32 [sum; sumsq] ->
+    per-lane normalization vectors (inv, mean*inv), each (N, g*C) fp32,
+    such that ``x * inv - shift`` is the instance-normalized tensor
+    (optionally folding an affine scale/bias). Tiny (N, C) math — stays in
+    XLA so gradients flow through the statistics chain."""
+    n, _, gc = stats.shape
+    c = gc // g
+    s = stats[:, 0].reshape(n, g, c).sum(axis=1)
+    ss = stats[:, 1].reshape(n, g, c).sum(axis=1)
+    mean = s / count
+    var = jnp.maximum(ss / count - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        inv = inv * scale.astype(jnp.float32)
+    shift = mean * inv
+    if bias is not None:
+        shift = shift - bias.astype(jnp.float32)
+    return jnp.tile(inv, (1, g)), jnp.tile(shift, (1, g))
+
+
+def packed_stats_xla(xp) -> jax.Array:
+    """(N, D, H, W/g, g*C) -> (N, 2, g*C) fp32 [sum; sumsq] — the same
+    statistics the fused conv kernels emit, for producers that cannot
+    (e.g. the split-weight decoder pair, whose sum's sumsq is not the sum
+    of the halves' sumsqs)."""
+    xf = xp.astype(jnp.float32)
+    return jnp.stack([jnp.sum(xf, axis=(1, 2, 3)),
+                      jnp.sum(jnp.square(xf), axis=(1, 2, 3))], axis=1)
+
+
+def norm_apply_packed(xp, inv, shift, negative_slope, act,
+                      residual=None):
+    """Elementwise ``leaky((xp * inv - shift) [+ residual])`` on a packed
+    tensor with PRECOMPUTED per-lane vectors (N, g*C) — the residual-block
+    tail pass of the fused pipeline (one read+write instead of stats +
+    apply)."""
+    inv_t = inv.astype(xp.dtype)[:, None, None, None, :]
+    shift_t = shift.astype(xp.dtype)[:, None, None, None, :]
+    y = xp * inv_t - shift_t
+    if residual is not None:
+        y = y + residual
+    if act:
+        y = jnp.where(y >= 0, y, y * negative_slope)
+    return y
+
+
 def instance_norm_act_packed(x, scale, bias, eps, negative_slope, act,
                              residual=None, g: Optional[int] = None):
     """Same as :func:`instance_norm_act_packed_io` for an unpacked

@@ -46,11 +46,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pack_g(co: int) -> int:
+    """x-positions packed per GEMM output row: 128 lanes for small C,
+    1 (no packing — the kernel degenerates to a dense per-tap GEMM conv
+    with ZERO structural-zero FLOPs) for C > 128."""
+    return max(1, 128 // co)
+
+
 def is_supported(x_shape, w_shape) -> bool:
     if len(x_shape) != 5 or len(w_shape) != 5:
         return False
     kd, kh, kw, ci, co = w_shape
-    if (kd, kh, kw) != (3, 3, 3) or co not in (16, 32, 64):
+    if (kd, kh, kw) != (3, 3, 3):
+        return False
+    n, d, h, w, c = x_shape
+    if co in (256, 512) and ci % 128 == 0 and ci <= 512:
+        # dense g=1 class: deep stages (XLA's tapsum alternative runs as
+        # ~2000 tiny dispatched GEMMs per step, ~70 ms of the round-3 trace)
+        return w >= 2 and d >= 2 and h >= 2
+    if co not in (16, 32, 64):
         return False
     if ci % 8 or ci > 128:
         return False
@@ -58,7 +72,6 @@ def is_supported(x_shape, w_shape) -> bool:
     # side contributions use 128-lane-aligned slices of the packed input
     if (g * ci) % 128 != 0:
         return False
-    n, d, h, w, c = x_shape
     return w % g == 0 and w // g >= 2 and d >= 2 and h >= 2
 
 
@@ -87,8 +100,9 @@ def build_banded_weights(w: jax.Array, g: int):
     # When the packed input spans multiple 128-lane tiles (g*ci > 128),
     # Mosaic requires 128-aligned lane slices, so the side operands are
     # zero-extended to 128 contraction rows; within a single tile the narrow
-    # ci-row form is used (4x fewer side FLOPs).
-    narrow = (g * ci) <= 128
+    # ci-row form is used (4x fewer side FLOPs). At g == 1 the sides are the
+    # FULL-row dx=0/dx=2 tap matrices (slices are whole -> trivially aligned).
+    narrow = g == 1 or (g * ci) <= 128
     left_cols = [w[:, :, 0] if s == 0 else zeros for s in range(g)]
     b_left = jnp.stack(left_cols, axis=3).reshape(kd, kh, ci, gc)
     right_cols = [w[:, :, 2] if s == g - 1 else zeros for s in range(g)]
@@ -99,9 +113,19 @@ def build_banded_weights(w: jax.Array, g: int):
     return b_mid, b_left, b_right
 
 
+# Mosaic's default scoped-VMEM stack limit is 16 MB; the fused pre-op's
+# normalized-tile temp pushes the banded kernel ~100 KB over it at the
+# best tile size (measured OOM 2026-08-17). v5e has 128 MB VMEM — raise
+# the per-kernel cap instead of shrinking tiles.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
 def _pick_tile(d: int, h: int, wga: int, gc: int, itemsize: int,
-               budget_bytes: int = None) -> Tuple[int, int]:
-    """(bd, bh) dividing (d, h) with the halo'd input tile under budget."""
+               budget_bytes: int = None,
+               cat_row_bytes: int = 0) -> Tuple[int, int]:
+    """(bd, bh) dividing (d, h) with the halo'd input tile under budget.
+    ``cat_row_bytes``: per-(bd*bh) bytes of the concat-GEMM scratch (CAT
+    mode), capped at 3x the tile budget so total VMEM stays bounded."""
     if budget_bytes is None:
         import os
         budget_bytes = int(os.environ.get("MT3D_CONV_TILE_BUDGET",
@@ -109,7 +133,9 @@ def _pick_tile(d: int, h: int, wga: int, gc: int, itemsize: int,
     row_bytes = wga * gc * itemsize
 
     def fits(bd, bh):
-        return (bd + 2) * (bh + 2) * row_bytes <= budget_bytes
+        if (bd + 2) * (bh + 2) * row_bytes > budget_bytes:
+            return False
+        return bd * bh * cat_row_bytes <= 3 * budget_bytes
 
     best = (1, 1)
     for bd in [x for x in (16, 12, 8, 6, 4, 2, 1) if d % x == 0]:
@@ -119,12 +145,63 @@ def _pick_tile(d: int, h: int, wga: int, gc: int, itemsize: int,
     return best
 
 
-def _conv_kernel(x_hbm, bm_ref, bl_ref, br_ref, y_ref, x_s0, x_s1, sem, *,
-                 g: int, ci: int, co: int, bd: int, bh: int):
+def _tile_norm(x_s, pre_ref, di, hi, bd, bh, wg, neg_slope):
+    """Apply ``leaky(x * scale - shift)`` to a halo'd input tile, zeroing
+    the pad positions (halo rows outside the volume and the x-axis
+    pad/alignment groups must stay zero for same-padding semantics)."""
+    nd = pl.num_programs(1)
+    nh = pl.num_programs(2)
+    shp = x_s.shape                      # (bd+2, bh+2, wga, gci)
+    dt = x_s.dtype
+    sc = pre_ref[0, 0].astype(dt)[None, None, None, :]
+    sh = pre_ref[0, 1].astype(dt)[None, None, None, :]
+    r = lax.broadcasted_iota(jnp.int32, shp, 0) + di * bd
+    hq = lax.broadcasted_iota(jnp.int32, shp, 1) + hi * bh
+    wq = lax.broadcasted_iota(jnp.int32, shp, 2)
+    valid = ((r >= 1) & (r <= nd * bd) & (hq >= 1) & (hq <= nh * bh)
+             & (wq >= 1) & (wq <= wg))
+    u = x_s[...] * sc - sh
+    # Mosaic on v5e rejects cmpf on bf16 vectors ("Target does not support
+    # this comparison"); compare in f32
+    pos = u.astype(jnp.float32) >= 0.0
+    u = jnp.where(pos, u, u * jnp.asarray(neg_slope, dt))
+    return jnp.where(valid, u, jnp.zeros_like(u))
+
+
+def _cat_env() -> bool:
+    """MT3D_CONV_CAT=1: run the 9 mid contractions of each tile as ONE
+    long-K GEMM against the stacked band matrix (K = 9*g*ci) instead of 9
+    GEMMs + 9 fp32 accumulates. Same raw FLOPs; trades 9 VPU accumulate
+    passes for one VMEM concat scratch. Off by default until measured
+    faster on the target chip."""
+    import os
+    return os.environ.get("MT3D_CONV_CAT", "0") == "1"
+
+
+def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
+                 pre: bool = False, stats: bool = False,
+                 neg_slope: float = 1e-2, cat: bool = False):
     """Double-buffered: the halo tile for grid step k+1 streams in while
     step k computes. The two buffers are distinct scratch refs selected with
     static ``pl.when`` branches — a dynamic leading-index slice of one
-    buffer defeats Mosaic's address optimization (measured 3x slower)."""
+    buffer defeats Mosaic's address optimization (measured 3x slower).
+
+    Optional fusions (VERDICT r2 perf item 1a):
+    * ``pre``: the input tile is normalized + LeakyReLU'd in VMEM right
+      after the DMA (per-(sample, lane) scale/shift vectors), replacing a
+      full XLA read+write pass over the tensor in HBM;
+    * ``stats``: per-(sample, lane) sum / sum-of-squares of the fp32 output
+      accumulate into a revolving (1, 2, gco) output window — the instance
+      norm statistics of this conv's output come out for free.
+    """
+    it = iter(refs)
+    x_hbm, bm_ref, bl_ref, br_ref = next(it), next(it), next(it), next(it)
+    pre_ref = next(it) if pre else None
+    y_ref = next(it)
+    stats_ref = next(it) if stats else None
+    x_s0, x_s1, sem = next(it), next(it), next(it)
+    xcat = next(it) if cat else None
+
     ni = pl.program_id(0)
     di = pl.program_id(1)
     hi = pl.program_id(2)
@@ -135,7 +212,7 @@ def _conv_kernel(x_hbm, bm_ref, bl_ref, br_ref, y_ref, x_s0, x_s1, sem, *,
     wg = y_ref.shape[3]
     m = bd * bh * wg
     dn = (((1,), (0,)), ((), ()))
-    side_k = ci if gci <= 128 else 128
+    side_k = gci if g == 1 else (ci if gci <= 128 else 128)
 
     def tile_dma(buf, sl, a, b, c):
         return pltpu.make_async_copy(
@@ -163,20 +240,61 @@ def _conv_kernel(x_hbm, bm_ref, bl_ref, br_ref, y_ref, x_s0, x_s1, sem, *,
     def _():
         tile_dma(x_s1, 1, n_ni, n_di, n_hi).start()
 
-    def compute(x_s):
-        acc = jnp.zeros((m, gco), jnp.float32)
-        for dz in range(3):
-            for dy in range(3):
-                rows = x_s[dz:dz + bd, dy:dy + bh]   # (bd, bh, wga, g*ci)
-                mid = rows[:, :, 1:wg + 1, :].reshape(m, gci)
-                acc += lax.dot_general(mid, bm_ref[dz, dy], dn,
-                                       preferred_element_type=jnp.float32)
-                left = rows[:, :, 0:wg, gci - side_k:gci].reshape(m, side_k)
-                acc += lax.dot_general(left, bl_ref[dz, dy], dn,
-                                       preferred_element_type=jnp.float32)
-                right = rows[:, :, 2:wg + 2, 0:side_k].reshape(m, side_k)
-                acc += lax.dot_general(right, br_ref[dz, dy], dn,
-                                       preferred_element_type=jnp.float32)
+    if stats:
+        @pl.when((di == 0) & (hi == 0))
+        def _():
+            stats_ref[...] = jnp.zeros_like(stats_ref)
+
+    def compute(x_buf):
+        if pre:
+            x_s = _tile_norm(x_buf, pre_ref, di, hi, bd, bh, wg, neg_slope)
+        else:
+            x_s = x_buf[...]
+        if cat:
+            # single long-K mid GEMM: stack the 9 shifted operands along
+            # lanes (128-aligned slots) and contract against the stacked
+            # band matrix (bm_ref here is (9*gci, gco))
+            for dz in range(3):
+                for dy in range(3):
+                    rows = x_s[dz:dz + bd, dy:dy + bh]
+                    idx = dz * 3 + dy
+                    xcat[:, idx * gci:(idx + 1) * gci] = (
+                        rows[:, :, 1:wg + 1, :].reshape(m, gci))
+            acc = lax.dot_general(xcat[...], bm_ref[...], dn,
+                                  preferred_element_type=jnp.float32)
+            for dz in range(3):
+                for dy in range(3):
+                    rows = x_s[dz:dz + bd, dy:dy + bh]
+                    left = rows[:, :, 0:wg, gci - side_k:gci].reshape(
+                        m, side_k)
+                    acc += lax.dot_general(
+                        left, bl_ref[dz, dy], dn,
+                        preferred_element_type=jnp.float32)
+                    right = rows[:, :, 2:wg + 2, 0:side_k].reshape(m, side_k)
+                    acc += lax.dot_general(
+                        right, br_ref[dz, dy], dn,
+                        preferred_element_type=jnp.float32)
+        else:
+            acc = jnp.zeros((m, gco), jnp.float32)
+            for dz in range(3):
+                for dy in range(3):
+                    rows = x_s[dz:dz + bd, dy:dy + bh]  # (bd, bh, wga, g*ci)
+                    mid = rows[:, :, 1:wg + 1, :].reshape(m, gci)
+                    acc += lax.dot_general(
+                        mid, bm_ref[dz, dy], dn,
+                        preferred_element_type=jnp.float32)
+                    left = rows[:, :, 0:wg, gci - side_k:gci].reshape(
+                        m, side_k)
+                    acc += lax.dot_general(
+                        left, bl_ref[dz, dy], dn,
+                        preferred_element_type=jnp.float32)
+                    right = rows[:, :, 2:wg + 2, 0:side_k].reshape(m, side_k)
+                    acc += lax.dot_general(
+                        right, br_ref[dz, dy], dn,
+                        preferred_element_type=jnp.float32)
+        if stats:
+            stats_ref[0, 0, :] += jnp.sum(acc, axis=0)
+            stats_ref[0, 1, :] += jnp.sum(acc * acc, axis=0)
         y_ref[0] = acc.reshape(bd, bh, wg, gco).astype(y_ref.dtype)
 
     @pl.when(k % 2 == 0)
@@ -190,52 +308,90 @@ def _conv_kernel(x_hbm, bm_ref, bl_ref, br_ref, y_ref, x_s0, x_s1, sem, *,
         compute(x_s1)
 
 
-def _conv3d_banded_packed(xp: jax.Array, w: jax.Array, g: int) -> jax.Array:
+def _conv3d_banded_packed_f(xp: jax.Array, w: jax.Array, g: int,
+                            pre_vec=None, emit_stats: bool = False,
+                            neg_slope: float = 1e-2):
     """Packed-in/packed-out banded conv: xp (N, D, H, W/g, g*ci) ->
     (N, D, H, W/g, g*co). Keeping tensors packed between ops avoids XLA's
-    lane padding on small-C activations entirely."""
+    lane padding on small-C activations entirely.
+
+    ``pre_vec``: optional (N, 2, g*ci) fp32 [scale; shift] — the input is
+    normalized + LeakyReLU'd tile-wise in VMEM (the previous conv's instance
+    norm applied as this conv's pre-op). ``emit_stats``: additionally return
+    (N, 2, g*co) fp32 per-lane [sum; sumsq] of the output."""
     n, d, h, wg, gci = xp.shape
     ci = gci // g
     co = w.shape[-1]
     gco = g * co
+    cat = _cat_env()
     # second-minor dim of DMA'd tiles must be tiling-aligned
     sub = 16 if xp.dtype == jnp.bfloat16 else 8
     wga = ((wg + 2 + sub - 1) // sub) * sub
-    bd, bh = _pick_tile(d, h, wga, max(gci, gco), xp.dtype.itemsize)
+    bd, bh = _pick_tile(d, h, wga, max(gci, gco), xp.dtype.itemsize,
+                        cat_row_bytes=(wg * 9 * gci * xp.dtype.itemsize
+                                       if cat else 0))
 
     # halo-pad: 1 in D/H, one packed group in W, alignment tail
     xpp = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (1, wga - (wg + 1)), (0, 0)))
 
     b_mid, b_left, b_right = build_banded_weights(w.astype(xp.dtype), g)
+    if cat:
+        b_mid = b_mid.reshape(9 * gci, gco)
 
-    kernel = functools.partial(_conv_kernel, g=g, ci=ci, co=co, bd=bd, bh=bh)
+    kernel = functools.partial(_conv_kernel, g=g, ci=ci, co=co, bd=bd, bh=bh,
+                               pre=pre_vec is not None, stats=emit_stats,
+                               neg_slope=neg_slope, cat=cat)
     const_spec = lambda shape: pl.BlockSpec(
-        shape, lambda ni, di, hi: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+        shape, lambda ni, di, hi: (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),       # packed input (HBM)
+        const_spec(b_mid.shape),
+        const_spec(b_left.shape),
+        const_spec(b_right.shape),
+    ]
+    operands = [xpp, b_mid, b_left, b_right]
+    if pre_vec is not None:
+        in_specs.append(pl.BlockSpec((1, 2, gci),
+                                     lambda ni, di, hi: (ni, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(pre_vec)
+    out_specs = pl.BlockSpec((1, bd, bh, wg, gco),
+                             lambda ni, di, hi: (ni, di, hi, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n, d, h, wg, gco), xp.dtype)
+    if emit_stats:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 2, gco), lambda ni, di, hi: (ni, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((n, 2, gco), jnp.float32))
+    scratch = [
+        pltpu.VMEM((bd + 2, bh + 2, wga, gci), xp.dtype),
+        pltpu.VMEM((bd + 2, bh + 2, wga, gci), xp.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if cat:
+        scratch.append(pltpu.VMEM((bd * bh * wg, 9 * gci), xp.dtype))
     return pl.pallas_call(
         kernel,
         grid=(n, d // bd, h // bh),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),       # packed input (HBM)
-            const_spec((3, 3, gci, gco)),
-            const_spec(b_left.shape),
-            const_spec(b_right.shape),
-        ],
-        out_specs=pl.BlockSpec((1, bd, bh, wg, gco),
-                               lambda ni, di, hi: (ni, di, hi, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, d, h, wg, gco), xp.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bd + 2, bh + 2, wga, gci), xp.dtype),
-            pltpu.VMEM((bd + 2, bh + 2, wga, gci), xp.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )(xpp, b_mid, b_left, b_right)
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=_VMEM_LIMIT,
+    )(*operands)
+
+
+def _conv3d_banded_packed(xp: jax.Array, w: jax.Array, g: int) -> jax.Array:
+    return _conv3d_banded_packed_f(xp, w, g)
 
 
 def _conv3d_banded_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
     n, d, h, w_dim, ci = x.shape
     co = w.shape[-1]
-    g = 128 // co
+    g = _pack_g(co)
     xp = x.reshape(n, d, h, w_dim // g, g * ci)
     yp = _conv3d_banded_packed(xp, w, g)
     return yp.reshape(n, d, h, w_dim, co)
@@ -245,14 +401,28 @@ def _conv3d_banded_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
 # weight gradient: banded correlation kernel
 # ----------------------------------------------------------------------
 
-def _dw_kernel(x_hbm, gy_ref, dbm_ref, dbl_ref, dbr_ref,
-               x_s0, x_s1, sem, acc_m, acc_l, acc_r, *,
-               g: int, ci: int, co: int, bd: int, bh: int, side_k: int):
+def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
+               side_k: int, pre: bool = False, neg_slope: float = 1e-2,
+               cat: bool = False):
     """dB[dz, dy] += patches^T @ gy, accumulated in fp32 VMEM scratch across
     the sequential grid; the banded gradients are written at the last step.
     The contraction runs over the (huge) spatial dim with BOTH output dims
     MXU-sized (g*ci x g*co), unlike XLA's reverse conv whose output tile is
-    (ci, co) — the reason this is ~3x faster for small C."""
+    (ci, co) — the reason this is ~3x faster for small C.
+
+    ``pre``: normalize+activate the x tiles in VMEM exactly as the fused
+    forward did (the dW contraction needs the conv's ACTUAL input)."""
+    it = iter(refs)
+    x_hbm, gy_ref = next(it), next(it)
+    pre_ref = next(it) if pre else None
+    dbm_ref, dbl_ref, dbr_ref = next(it), next(it), next(it)
+    x_s0, x_s1, sem = next(it), next(it), next(it)
+    xcat = next(it) if cat else None
+    # fp32 accumulation happens directly in the (constant-index, hence
+    # VMEM-revolving) output blocks — separate scratch accumulators would
+    # double the banded-gradient VMEM (28 MB at C=512)
+    acc_m, acc_l, acc_r = dbm_ref, dbl_ref, dbr_ref
+
     ni = pl.program_id(0)
     di = pl.program_id(1)
     hi = pl.program_id(2)
@@ -295,7 +465,32 @@ def _dw_kernel(x_hbm, gy_ref, dbm_ref, dbl_ref, dbr_ref,
 
     gy = gy_ref[0].reshape(m, gco)
 
-    def accumulate(x_s):
+    def accumulate(x_buf):
+        if pre:
+            x_s = _tile_norm(x_buf, pre_ref, di, hi, bd, bh, wg, neg_slope)
+        else:
+            x_s = x_buf[...]
+        if cat:
+            # all 9 dB mid taps in ONE GEMM: (m, 9*gci)^T @ (m, gco)
+            for dz in range(3):
+                for dy in range(3):
+                    rows = x_s[dz:dz + bd, dy:dy + bh]
+                    idx = dz * 3 + dy
+                    xcat[:, idx * gci:(idx + 1) * gci] = (
+                        rows[:, :, 1:wg + 1, :].reshape(m, gci))
+            acc_m[...] += lax.dot_general(
+                xcat[...], gy, dn, preferred_element_type=jnp.float32)
+            for dz in range(3):
+                for dy in range(3):
+                    rows = x_s[dz:dz + bd, dy:dy + bh]
+                    left = rows[:, :, 0:wg, gci - side_k:gci].reshape(
+                        m, side_k)
+                    acc_l[dz, dy] += lax.dot_general(
+                        left, gy, dn, preferred_element_type=jnp.float32)
+                    right = rows[:, :, 2:wg + 2, 0:side_k].reshape(m, side_k)
+                    acc_r[dz, dy] += lax.dot_general(
+                        right, gy, dn, preferred_element_type=jnp.float32)
+            return
         for dz in range(3):
             for dy in range(3):
                 rows = x_s[dz:dz + bd, dy:dy + bh]
@@ -319,12 +514,6 @@ def _dw_kernel(x_hbm, gy_ref, dbm_ref, dbl_ref, dbr_ref,
         tile_dma(x_s1, 1, ni, di, hi).wait()
         accumulate(x_s1)
 
-    @pl.when(k == total - 1)
-    def _():
-        dbm_ref[...] = acc_m[...]
-        dbl_ref[...] = acc_l[...]
-        dbr_ref[...] = acc_r[...]
-
 
 def _dw_from_banded(dbm, dbl, dbr, g, ci, co, side_k, dtype):
     """Recover dW (3,3,3,ci,co) from the banded gradients by summing the
@@ -347,47 +536,65 @@ def _dw_from_banded(dbm, dbl, dbr, g, ci, co, side_k, dtype):
 
 
 def conv3d_dw_packed(xp: jax.Array, gyp: jax.Array, g: int,
-                     w_shape) -> jax.Array:
-    """Weight gradient for the banded conv, both operands packed."""
+                     w_shape, pre_vec=None,
+                     neg_slope: float = 1e-2) -> jax.Array:
+    """Weight gradient for the banded conv, both operands packed.
+    ``pre_vec``: apply the fused forward's normalize+act to x in-kernel."""
     n, d, h, wg, gci = xp.shape
     ci = gci // g
     co = w_shape[-1]
     gco = g * co
+    cat = _cat_env()
     sub = 16 if xp.dtype == jnp.bfloat16 else 8
     wga = ((wg + 2 + sub - 1) // sub) * sub
-    bd, bh = _pick_tile(d, h, wga, max(gci, gco), xp.dtype.itemsize)
-    side_k = ci if gci <= 128 else 128
+    bd, bh = _pick_tile(d, h, wga, max(gci, gco), xp.dtype.itemsize,
+                        cat_row_bytes=(wg * 9 * gci * xp.dtype.itemsize
+                                       if cat else 0))
+    side_k = gci if g == 1 else (ci if gci <= 128 else 128)
 
     xpp = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (1, wga - (wg + 1)), (0, 0)))
 
     kernel = functools.partial(_dw_kernel, g=g, ci=ci, co=co, bd=bd, bh=bh,
-                               side_k=side_k)
+                               side_k=side_k, pre=pre_vec is not None,
+                               neg_slope=neg_slope, cat=cat)
     out_spec = lambda shape: pl.BlockSpec(
-        shape, lambda ni, di, hi: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+        shape, lambda ni, di, hi: (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((1, bd, bh, wg, gco),
+                     lambda ni, di, hi: (ni, di, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [xpp, gyp]
+    if pre_vec is not None:
+        in_specs.append(pl.BlockSpec((1, 2, gci),
+                                     lambda ni, di, hi: (ni, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(pre_vec)
+    dbm_shape = (9 * gci, gco) if cat else (3, 3, gci, gco)
+    scratch = [
+        pltpu.VMEM((bd + 2, bh + 2, wga, gci), xp.dtype),
+        pltpu.VMEM((bd + 2, bh + 2, wga, gci), xp.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if cat:
+        scratch.append(pltpu.VMEM((bd * bh * wg, 9 * gci), xp.dtype))
     dbm, dbl, dbr = pl.pallas_call(
         kernel,
         grid=(n, d // bd, h // bh),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, bd, bh, wg, gco),
-                         lambda ni, di, hi: (ni, di, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(out_spec((3, 3, gci, gco)),
+        in_specs=in_specs,
+        out_specs=(out_spec(dbm_shape),
                    out_spec((3, 3, side_k, gco)),
                    out_spec((3, 3, side_k, gco))),
-        out_shape=(jax.ShapeDtypeStruct((3, 3, gci, gco), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct(dbm_shape, jnp.float32),
                    jax.ShapeDtypeStruct((3, 3, side_k, gco), jnp.float32),
                    jax.ShapeDtypeStruct((3, 3, side_k, gco), jnp.float32)),
-        scratch_shapes=[
-            pltpu.VMEM((bd + 2, bh + 2, wga, gci), xp.dtype),
-            pltpu.VMEM((bd + 2, bh + 2, wga, gci), xp.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((3, 3, gci, gco), jnp.float32),
-            pltpu.VMEM((3, 3, side_k, gco), jnp.float32),
-            pltpu.VMEM((3, 3, side_k, gco), jnp.float32),
-        ],
-    )(xpp, gyp)
+        scratch_shapes=scratch,
+        compiler_params=_VMEM_LIMIT,
+    )(*operands)
+    if cat:
+        dbm = dbm.reshape(3, 3, gci, gco)
     return _dw_from_banded(dbm, dbl, dbr, g, ci, co, side_k, jnp.float32)
 
 
@@ -411,6 +618,103 @@ def _bwd_packed(g, res, gyp):
 
 
 conv3d_packed.defvjp(_fwd_packed, _bwd_packed)
+
+
+# ----------------------------------------------------------------------
+# fused conv + instance-norm ops (VERDICT r2 perf item 1a)
+#
+# The building blocks for running a whole residual stack with ZERO
+# standalone norm passes over HBM:
+#   conv3d_packed_stats : conv that also emits per-(sample, lane) sum/sumsq
+#                         of its output (the IN statistics, free in-kernel);
+#   conv3d_packed_ns    : conv whose input is normalized + LeakyReLU'd
+#                         tile-wise inside the kernel (the PREVIOUS conv's
+#                         norm applied as this conv's pre-op) — and which
+#                         also emits its own output stats.
+# The tiny (N, C) mean/inv math between convs stays in XLA
+# (ops/instance_norm.py stats_to_scale_shift) so gradients flow through the
+# statistics chain automatically; the custom VJPs below handle the tensor-
+# level terms, saving (xp, w, scale, shift, yp) as residuals — under block
+# remat these are recomputed, not stored.
+# ----------------------------------------------------------------------
+
+
+def _stats_grad_correction(gy, gs, yp):
+    """d(sum)/dy = 1, d(sumsq)/dy = 2y: fold the stats cotangents into the
+    output cotangent (one fused XLA elementwise pass)."""
+    f = jnp.float32
+    return (gy.astype(f)
+            + gs[:, 0][:, None, None, None, :]
+            + 2.0 * yp.astype(f) * gs[:, 1][:, None, None, None, :])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3d_packed_stats(xp: jax.Array, w: jax.Array, g: int):
+    """Packed banded conv returning ``(yp, stats)`` with stats =
+    (N, 2, g*co) fp32 [sum; sumsq] over all spatial positions per lane."""
+    return _conv3d_banded_packed_f(xp, w, g, emit_stats=True)
+
+
+def _stats_fwd(xp, w, g):
+    yp, st = conv3d_packed_stats(xp, w, g)
+    return (yp, st), (xp, w, yp)
+
+
+def _stats_bwd(g, res, cts):
+    xp, w, yp = res
+    gy, gs = cts
+    gyb = _stats_grad_correction(gy, gs, yp).astype(xp.dtype)
+    w_flip = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    dxp = _conv3d_banded_packed(gyb, w_flip, g)
+    dw = conv3d_dw_packed(xp, gyb, g, w.shape).astype(w.dtype)
+    return dxp, dw
+
+
+conv3d_packed_stats.defvjp(_stats_fwd, _stats_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def conv3d_packed_ns(xp: jax.Array, w: jax.Array, scale: jax.Array,
+                     shift: jax.Array, g: int, neg_slope: float = 1e-2):
+    """``conv(leaky(xp * scale - shift), w)`` with the normalize+act applied
+    tile-wise INSIDE the kernel (replacing a standalone norm pass over HBM),
+    returning ``(yp, stats)``. scale/shift: (N, g*ci) fp32 per-lane vectors
+    (a channel-tiled instance-norm inv / mean*inv)."""
+    pre = jnp.stack([scale, shift], axis=1)  # (N, 2, g*ci)
+    return _conv3d_banded_packed_f(xp, w, g, pre_vec=pre, emit_stats=True,
+                                   neg_slope=neg_slope)
+
+
+def _ns_fwd(xp, w, scale, shift, g, neg_slope):
+    yp, st = conv3d_packed_ns(xp, w, scale, shift, g, neg_slope)
+    return (yp, st), (xp, w, scale, shift, yp)
+
+
+def _ns_bwd(g, neg_slope, res, cts):
+    xp, w, scale, shift, yp = res
+    gy, gs = cts
+    f = jnp.float32
+    gyb = _stats_grad_correction(gy, gs, yp).astype(xp.dtype)
+    # dx through the conv, wrt the NORMALIZED input
+    w_flip = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    gxn = _conv3d_banded_packed(gyb, w_flip, g)
+    # through the pre-op: u = x*a - b, xn = leaky(u)
+    scb = scale[:, None, None, None, :]
+    shb = shift[:, None, None, None, :]
+    xf = xp.astype(f)
+    u = xf * scb - shb
+    du = gxn.astype(f) * jnp.where(u >= 0, 1.0, neg_slope)
+    dxp = (du * scb).astype(xp.dtype)
+    dscale = jnp.sum(du * xf, axis=(1, 2, 3))
+    dshift = -jnp.sum(du, axis=(1, 2, 3))
+    # dW contracts the ACTUAL (normalized) input — recomputed in-kernel
+    pre = jnp.stack([scale, shift], axis=1)
+    dw = conv3d_dw_packed(xp, gyb, g, w.shape, pre_vec=pre,
+                          neg_slope=neg_slope).astype(w.dtype)
+    return dxp, dw, dscale, dshift
+
+
+conv3d_packed_ns.defvjp(_ns_fwd, _ns_bwd)
 
 
 def _ref_conv(x, w):
@@ -903,7 +1207,7 @@ def _bwd(res, gy):
     # dW via the banded correlation kernel (packed operands)
     n, d, h, w_dim, ci = x.shape
     co = w.shape[-1]
-    g = 128 // co
+    g = _pack_g(co)
     xp = x.reshape(n, d, h, w_dim // g, g * ci)
     gyp = gy.reshape(n, d, h, w_dim // g, g * co)
     dw = conv3d_dw_packed(xp, gyp, g, w.shape).astype(w.dtype)

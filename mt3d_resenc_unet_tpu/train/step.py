@@ -103,7 +103,11 @@ def multitask_loss(
             l = jnp.zeros((), jnp.float32)
             for w, o in zip(ws, out):
                 spatial = o.shape[1:-1]
-                factor = tuple(t // s for t, s in zip(tgt.shape[1:-1], spatial))
+                # channel-less integer index targets (N, *spatial) have one
+                # fewer axis than the prediction — their LAST axis is spatial
+                tgt_spatial = (tgt.shape[1:-1] if tgt.ndim == o.ndim
+                               else tgt.shape[1:])
+                factor = tuple(t // s for t, s in zip(tgt_spatial, spatial))
                 t_ds = _downsample_target(tgt, factor) \
                     if any(f != 1 for f in factor) else tgt
                 l = l + w * fn(o, t_ds)
