@@ -18,6 +18,8 @@ builders/resblocks.py:15-353.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -126,8 +128,8 @@ def conv3d_stem(x: jax.Array, w: jax.Array) -> jax.Array:
     return y.reshape(n, d, h, wg * g, co).astype(x.dtype)
 
 
-def conv3d_stem_cf(x: jax.Array, w: jax.Array,
-                   packed_out: bool = False) -> jax.Array:
+def _stem_cf_impl(x: jax.Array, w: jax.Array,
+                  packed_out: bool = False) -> jax.Array:
     """Cin=1 3x3x3 same-pad stride-1 conv via a LEADING-dim patch stack and
     a channels-first GEMM.
 
@@ -162,6 +164,75 @@ def conv3d_stem_cf(x: jax.Array, w: jax.Array,
         g = 128 // co
         return y.reshape(n, d, h, wd // g, g * co)
     return y.reshape(n, d, h, wd, co)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3d_stem_cf(x: jax.Array, w: jax.Array,
+                   packed_out: bool = False) -> jax.Array:
+    """:func:`_stem_cf_impl` with a hand-written weight gradient.
+
+    XLA's autodiff of the channels-first stem GEMM contracts a narrow
+    (M, co) cotangent: on v5e that operand costs two ~4 ms full-tensor
+    layout copies per step (trace 2026-08-17). The custom backward instead
+    contracts the cotangent in its NATIVE x-packed (M/g, g*co) 128-lane
+    form against a group-windowed patch matrix (M/g, 9*(g+2)) built from
+    unit-stride views — no narrow-lane relayouts anywhere."""
+    return _stem_cf_impl(x, w, packed_out)
+
+
+def _stem_cf_fwd(x, w, packed_out):
+    return _stem_cf_impl(x, w, packed_out), (x, w)
+
+
+def _stem_cf_bwd(packed_out, res, gy):
+    x, w = res
+    n, d, h, wd, ci = x.shape
+    kd, kh, kw, _, co = w.shape
+    g = max(1, 128 // co) if (co <= 128 and 128 % co == 0
+                              and wd % max(1, 128 // co) == 0) else 1
+    wg = wd // g
+    dt = gy.dtype
+    gyp = gy.reshape(n * d * h * wg, g * co)        # free view of either form
+
+    # group-windowed patch stack: row (n,d,h,q) holds, per (dz,dy) tap, the
+    # g+2 x-values covering output group q's receptive field along W —
+    # built from unit-stride shifted views (a stride-g slice here compiles
+    # to a ~40 ms gather on v5e, see _stem_cf_impl docstring)
+    xg = x.reshape(n, d, h, wg, g).astype(dt)
+    zpad = ((0, 0), (0, 0), (0, 0))
+    prev_last = jnp.pad(xg[:, :, :, :-1, g - 1:g], zpad + ((1, 0), (0, 0)))
+    next_first = jnp.pad(xg[:, :, :, 1:, 0:1], zpad + ((0, 1), (0, 0)))
+    win = jnp.concatenate([prev_last, xg, next_first], -1)  # (..., wg, g+2)
+    winp = jnp.pad(win, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    cols = []
+    for dz in range(kd):
+        for dy in range(kh):
+            cols.append(jax.lax.slice(
+                winp, (0, dz, dy, 0, 0), (n, dz + d, dy + h, wg, g + 2)))
+    pg = jnp.concatenate(cols, -1).reshape(n * d * h * wg, kd * kh * (g + 2))
+
+    # dWmat[(dzdy)*(g+2)+o, s*co+c]: window offset o feeds output offset s
+    # at x-tap t = o - s
+    dwmat = jax.lax.dot_general(
+        pg, gyp.astype(dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dm = dwmat.reshape(kd * kh, g + 2, g, co)
+    dw = jnp.stack([sum(dm[:, s + t, s] for s in range(g))
+                    for t in range(kw)], axis=1)    # (9, kw, co)
+    dw = dw.reshape(kd, kh, kw, 1, co).astype(w.dtype)
+
+    # dx: the stem consumes the input image, so this branch is dead code in
+    # training (XLA DCEs it); kept correct for completeness
+    gy5 = gy.reshape(n, d, h, wd, co)
+    w_flip = jnp.flip(w, (0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    dx = jax.lax.conv_general_dilated(
+        gy5.astype(dt), w_flip.astype(dt), (1, 1, 1), _same_pads((kd, kh, kw)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    return dx, dw
+
+
+conv3d_stem_cf.defvjp(_stem_cf_fwd, _stem_cf_bwd)
 
 
 def stem_supported(x_shape, w_shape) -> bool:

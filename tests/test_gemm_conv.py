@@ -114,6 +114,17 @@ def test_stem_cf_matches_xla():
     rw = jax.grad(lambda w: jnp.sum(_ref(x, w, (1, 1, 1)) * gy))(w)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
                                rtol=1e-3, atol=1e-3)
+    # dx (dead in training but part of the custom VJP contract)
+    gx = jax.grad(lambda x: jnp.sum(conv3d_stem_cf(x, w) * gy))(x)
+    rx = jax.grad(lambda x: jnp.sum(_ref(x, w, (1, 1, 1)) * gy))(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-3, atol=1e-3)
+    # packed_out form: same dW through the packed cotangent path
+    gyp = gy.reshape(2, 6, 8, 4, 128)
+    gwp = jax.grad(lambda w: jnp.sum(
+        conv3d_stem_cf(x, w, True) * gyp))(w)
+    np.testing.assert_allclose(np.asarray(gwp), np.asarray(rw),
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_stem_packed_out_and_convnormact_shape():
