@@ -34,7 +34,8 @@ from ..ops.instance_norm import (_instance_norm_act_impl,
                                  instance_norm_act_packed_io,
                                  norm_apply_packed, packed_stats_xla,
                                  stats_to_scale_shift)
-from ..ops.pallas_conv import (conv3d_packed, conv3d_packed_ns,
+from ..ops.pallas_conv import (conv3d_packed, conv3d_packed_dual_stats,
+                               conv3d_packed_ns,
                                conv3d_packed_stats, conv3d_s2,
                                conv3d_small_c,
                                is_supported as _pallas_conv_ok,
@@ -120,10 +121,14 @@ class Conv(nn.Module):
                     y, st = conv3d_packed_stats(xd, kk, g)
                 else:
                     y = conv3d_packed(xd, kk, g)
+            elif emit_stats and not self.use_bias:
+                # packed split-weight pair (decoder skip concat): the add and
+                # the summed tensor's stats run inside the second half's
+                # kernel (no standalone XLA add or reduction pass)
+                assert pre is None
+                y, st = conv3d_packed_dual_stats(
+                    x.astype(self.dtype), x2.astype(self.dtype), kk, g)
             else:
-                # packed split-weight pair (decoder skip concat, packed io);
-                # kernel stats of the halves cannot combine (sumsq of a sum),
-                # so stats fall back to one XLA reduction pass
                 assert pre is None
                 y = (conv3d_packed(x.astype(self.dtype), kk[..., :ci, :], g)
                      + conv3d_packed(x2.astype(self.dtype), kk[..., ci:, :],
@@ -654,7 +659,9 @@ class StackedResidualBlocks(nn.Module):
         for i in range(self.n_blocks):
             if packed_from is not None and i == packed_from:
                 kshape = (3, 3, 3, self.features, self.features)
-                if _pallas_conv_ok(x.shape, kshape):
+                # packing requires g = 128/C >= 2; C > 64 stages use the
+                # plain layout (the dense g=1 kernel via Conv._dispatch)
+                if self.features <= 64 and _pallas_conv_ok(x.shape, kshape):
                     g = 128 // self.features
                     n, d, h, w, c = x.shape
                     xp = x.reshape(n, d, h, w // g, g * c)
@@ -706,6 +713,7 @@ class StackedConvBlocks(nn.Module):
         kshape = (3, 3, 3, c, c)
         if (self.use_pallas and tuple(self.kernel) == (3, 3, 3)
                 and all(s == 1 for s in self.initial_stride)
+                and c <= 64  # packing requires g = 128/C >= 2 (see above)
                 and x.shape[-1] == c
                 and (x2 is None or x2.shape[-1] == c)
                 and _pallas_conv_ok(x.shape, kshape)):

@@ -178,9 +178,22 @@ def _cat_env() -> bool:
     return os.environ.get("MT3D_CONV_CAT", "0") == "1"
 
 
+def _pick_bn(n: int, d: int, h: int, wga: int, gc: int, itemsize: int,
+             budget_bytes: int = 6 << 20) -> int:
+    """Batch-block for whole-plane tiles (g=1 deep stages): the spatial
+    extent is tiny, so GEMM M = bd*bh*wg alone is MXU-fill-dominated;
+    batching bn samples per tile multiplies M."""
+    per_n = (d + 2) * (h + 2) * wga * gc * itemsize
+    bn = max(1, budget_bytes // per_n)
+    while n % bn:
+        bn -= 1
+    return bn
+
+
 def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
                  pre: bool = False, stats: bool = False,
-                 neg_slope: float = 1e-2, cat: bool = False):
+                 neg_slope: float = 1e-2, cat: bool = False,
+                 addin: bool = False, bn: int = 1):
     """Double-buffered: the halo tile for grid step k+1 streams in while
     step k computes. The two buffers are distinct scratch refs selected with
     static ``pl.when`` branches — a dynamic leading-index slice of one
@@ -197,6 +210,7 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     it = iter(refs)
     x_hbm, bm_ref, bl_ref, br_ref = next(it), next(it), next(it), next(it)
     pre_ref = next(it) if pre else None
+    add_ref = next(it) if addin else None
     y_ref = next(it)
     stats_ref = next(it) if stats else None
     x_s0, x_s1, sem = next(it), next(it), next(it)
@@ -210,11 +224,17 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     gci = g * ci
     gco = g * co
     wg = y_ref.shape[3]
-    m = bd * bh * wg
+    m = bn * bd * bh * wg
     dn = (((1,), (0,)), ((), ()))
     side_k = gci if g == 1 else (ci if gci <= 128 else 128)
+    assert bn == 1 or not (pre or stats or addin or cat)
 
     def tile_dma(buf, sl, a, b, c):
+        if bn > 1:
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(a * bn, bn), pl.ds(b * bd, bd + 2),
+                         pl.ds(c * bh, bh + 2)],
+                buf, sem.at[sl])
         return pltpu.make_async_copy(
             x_hbm.at[a, pl.ds(b * bd, bd + 2), pl.ds(c * bh, bh + 2)],
             buf, sem.at[sl])
@@ -275,27 +295,42 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
                         right, br_ref[dz, dy], dn,
                         preferred_element_type=jnp.float32)
         else:
+            nb = (slice(None),) if bn > 1 else ()
             acc = jnp.zeros((m, gco), jnp.float32)
             for dz in range(3):
                 for dy in range(3):
-                    rows = x_s[dz:dz + bd, dy:dy + bh]  # (bd, bh, wga, g*ci)
-                    mid = rows[:, :, 1:wg + 1, :].reshape(m, gci)
+                    # ([bn,] bd, bh, wga, g*ci)
+                    rows = x_s[nb + (slice(dz, dz + bd),
+                                     slice(dy, dy + bh))]
+                    mid = rows[nb + (slice(None), slice(None),
+                                     slice(1, wg + 1))].reshape(m, gci)
                     acc += lax.dot_general(
                         mid, bm_ref[dz, dy], dn,
                         preferred_element_type=jnp.float32)
-                    left = rows[:, :, 0:wg, gci - side_k:gci].reshape(
+                    left = rows[nb + (slice(None), slice(None), slice(0, wg),
+                                      slice(gci - side_k, gci))].reshape(
                         m, side_k)
                     acc += lax.dot_general(
                         left, bl_ref[dz, dy], dn,
                         preferred_element_type=jnp.float32)
-                    right = rows[:, :, 2:wg + 2, 0:side_k].reshape(m, side_k)
+                    right = rows[nb + (slice(None), slice(None),
+                                       slice(2, wg + 2),
+                                       slice(0, side_k))].reshape(m, side_k)
                     acc += lax.dot_general(
                         right, br_ref[dz, dy], dn,
                         preferred_element_type=jnp.float32)
+        if addin:
+            # split-weight pair: the first half's conv output is added
+            # in-kernel so the (summed) tensor's statistics can be emitted
+            # without a standalone XLA add + reduction pass
+            acc = acc + add_ref[0].reshape(m, gco).astype(jnp.float32)
         if stats:
             stats_ref[0, 0, :] += jnp.sum(acc, axis=0)
             stats_ref[0, 1, :] += jnp.sum(acc * acc, axis=0)
-        y_ref[0] = acc.reshape(bd, bh, wg, gco).astype(y_ref.dtype)
+        if bn > 1:
+            y_ref[...] = acc.reshape(bn, bd, bh, wg, gco).astype(y_ref.dtype)
+        else:
+            y_ref[0] = acc.reshape(bd, bh, wg, gco).astype(y_ref.dtype)
 
     @pl.when(k % 2 == 0)
     def _():
@@ -310,7 +345,7 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
 
 def _conv3d_banded_packed_f(xp: jax.Array, w: jax.Array, g: int,
                             pre_vec=None, emit_stats: bool = False,
-                            neg_slope: float = 1e-2):
+                            neg_slope: float = 1e-2, add_to=None):
     """Packed-in/packed-out banded conv: xp (N, D, H, W/g, g*ci) ->
     (N, D, H, W/g, g*co). Keeping tensors packed between ops avoids XLA's
     lane padding on small-C activations entirely.
@@ -327,9 +362,19 @@ def _conv3d_banded_packed_f(xp: jax.Array, w: jax.Array, g: int,
     # second-minor dim of DMA'd tiles must be tiling-aligned
     sub = 16 if xp.dtype == jnp.bfloat16 else 8
     wga = ((wg + 2 + sub - 1) // sub) * sub
-    bd, bh = _pick_tile(d, h, wga, max(gci, gco), xp.dtype.itemsize,
-                        cat_row_bytes=(wg * 9 * gci * xp.dtype.itemsize
-                                       if cat else 0))
+    # g=1 deep stages: tiny spatial extents -> whole-plane tiles, batched
+    # over samples so the GEMM M dim stays MXU-pipeline-sized
+    plain = pre_vec is None and not emit_stats and add_to is None and not cat
+    if g == 1 and plain:
+        bd, bh = _pick_tile(d, h, wga, max(gci, gco), xp.dtype.itemsize,
+                            budget_bytes=6 << 20)
+        bn = (_pick_bn(n, d, h, wga, gci, xp.dtype.itemsize)
+              if (bd, bh) == (d, h) else 1)
+    else:
+        bd, bh = _pick_tile(d, h, wga, max(gci, gco), xp.dtype.itemsize,
+                            cat_row_bytes=(wg * 9 * gci * xp.dtype.itemsize
+                                           if cat else 0))
+        bn = 1
 
     # halo-pad: 1 in D/H, one packed group in W, alignment tail
     xpp = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (1, wga - (wg + 1)), (0, 0)))
@@ -340,7 +385,8 @@ def _conv3d_banded_packed_f(xp: jax.Array, w: jax.Array, g: int,
 
     kernel = functools.partial(_conv_kernel, g=g, ci=ci, co=co, bd=bd, bh=bh,
                                pre=pre_vec is not None, stats=emit_stats,
-                               neg_slope=neg_slope, cat=cat)
+                               neg_slope=neg_slope, cat=cat,
+                               addin=add_to is not None, bn=bn)
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda ni, di, hi: (0,) * len(shape),
         memory_space=pltpu.VMEM)
@@ -356,7 +402,12 @@ def _conv3d_banded_packed_f(xp: jax.Array, w: jax.Array, g: int,
                                      lambda ni, di, hi: (ni, 0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(pre_vec)
-    out_specs = pl.BlockSpec((1, bd, bh, wg, gco),
+    if add_to is not None:
+        in_specs.append(pl.BlockSpec((1, bd, bh, wg, gco),
+                                     lambda ni, di, hi: (ni, di, hi, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(add_to)
+    out_specs = pl.BlockSpec((bn, bd, bh, wg, gco),
                              lambda ni, di, hi: (ni, di, hi, 0, 0),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((n, d, h, wg, gco), xp.dtype)
@@ -366,16 +417,18 @@ def _conv3d_banded_packed_f(xp: jax.Array, w: jax.Array, g: int,
                                   memory_space=pltpu.VMEM))
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((n, 2, gco), jnp.float32))
+    buf_shape = ((bn, bd + 2, bh + 2, wga, gci) if bn > 1
+                 else (bd + 2, bh + 2, wga, gci))
     scratch = [
-        pltpu.VMEM((bd + 2, bh + 2, wga, gci), xp.dtype),
-        pltpu.VMEM((bd + 2, bh + 2, wga, gci), xp.dtype),
+        pltpu.VMEM(buf_shape, xp.dtype),
+        pltpu.VMEM(buf_shape, xp.dtype),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if cat:
         scratch.append(pltpu.VMEM((bd * bh * wg, 9 * gci), xp.dtype))
     return pl.pallas_call(
         kernel,
-        grid=(n, d // bd, h // bh),
+        grid=(n // bn, d // bd, h // bh),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -403,7 +456,7 @@ def _conv3d_banded_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
 
 def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
                side_k: int, pre: bool = False, neg_slope: float = 1e-2,
-               cat: bool = False):
+               cat: bool = False, bn: int = 1):
     """dB[dz, dy] += patches^T @ gy, accumulated in fp32 VMEM scratch across
     the sequential grid; the banded gradients are written at the last step.
     The contraction runs over the (huge) spatial dim with BOTH output dims
@@ -431,10 +484,16 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     gci = g * ci
     gco = g * co
     wg = gy_ref.shape[3]
-    m = bd * bh * wg
+    m = bn * bd * bh * wg
     dn = (((0,), (0,)), ((), ()))  # contract over rows (spatial)
+    assert bn == 1 or not (pre or cat)
 
     def tile_dma(buf, sl, a, b, c):
+        if bn > 1:
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(a * bn, bn), pl.ds(b * bd, bd + 2),
+                         pl.ds(c * bh, bh + 2)],
+                buf, sem.at[sl])
         return pltpu.make_async_copy(
             x_hbm.at[a, pl.ds(b * bd, bd + 2), pl.ds(c * bh, bh + 2)],
             buf, sem.at[sl])
@@ -463,7 +522,8 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     def _():
         tile_dma(x_s1, 1, n_ni, n_di, n_hi).start()
 
-    gy = gy_ref[0].reshape(m, gco)
+    gy = gy_ref[...].reshape(m, gco) if bn > 1 else gy_ref[0].reshape(m, gco)
+    nb = (slice(None),) if bn > 1 else ()
 
     def accumulate(x_buf):
         if pre:
@@ -493,14 +553,19 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
             return
         for dz in range(3):
             for dy in range(3):
-                rows = x_s[dz:dz + bd, dy:dy + bh]
-                mid = rows[:, :, 1:wg + 1, :].reshape(m, gci)
+                rows = x_s[nb + (slice(dz, dz + bd), slice(dy, dy + bh))]
+                mid = rows[nb + (slice(None), slice(None),
+                                 slice(1, wg + 1))].reshape(m, gci)
                 acc_m[dz, dy] += lax.dot_general(
                     mid, gy, dn, preferred_element_type=jnp.float32)
-                left = rows[:, :, 0:wg, gci - side_k:gci].reshape(m, side_k)
+                left = rows[nb + (slice(None), slice(None), slice(0, wg),
+                                  slice(gci - side_k, gci))].reshape(
+                    m, side_k)
                 acc_l[dz, dy] += lax.dot_general(
                     left, gy, dn, preferred_element_type=jnp.float32)
-                right = rows[:, :, 2:wg + 2, 0:side_k].reshape(m, side_k)
+                right = rows[nb + (slice(None), slice(None),
+                                   slice(2, wg + 2),
+                                   slice(0, side_k))].reshape(m, side_k)
                 acc_r[dz, dy] += lax.dot_general(
                     right, gy, dn, preferred_element_type=jnp.float32)
 
@@ -550,19 +615,25 @@ def conv3d_dw_packed(xp: jax.Array, gyp: jax.Array, g: int,
     bd, bh = _pick_tile(d, h, wga, max(gci, gco), xp.dtype.itemsize,
                         cat_row_bytes=(wg * 9 * gci * xp.dtype.itemsize
                                        if cat else 0))
+    # g=1 deep stages with whole-plane tiles: batch samples to keep the
+    # contraction's spatial (K) dim MXU-pipeline-sized (see _pick_bn)
+    if g == 1 and pre_vec is None and not cat and (bd, bh) == (d, h):
+        bn = _pick_bn(n, d, h, wga, gci, xp.dtype.itemsize)
+    else:
+        bn = 1
     side_k = gci if g == 1 else (ci if gci <= 128 else 128)
 
     xpp = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (1, wga - (wg + 1)), (0, 0)))
 
     kernel = functools.partial(_dw_kernel, g=g, ci=ci, co=co, bd=bd, bh=bh,
                                side_k=side_k, pre=pre_vec is not None,
-                               neg_slope=neg_slope, cat=cat)
+                               neg_slope=neg_slope, cat=cat, bn=bn)
     out_spec = lambda shape: pl.BlockSpec(
         shape, lambda ni, di, hi: (0,) * len(shape),
         memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec((1, bd, bh, wg, gco),
+        pl.BlockSpec((bn, bd, bh, wg, gco),
                      lambda ni, di, hi: (ni, di, hi, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -573,16 +644,18 @@ def conv3d_dw_packed(xp: jax.Array, gyp: jax.Array, g: int,
                                      memory_space=pltpu.VMEM))
         operands.append(pre_vec)
     dbm_shape = (9 * gci, gco) if cat else (3, 3, gci, gco)
+    buf_shape = ((bn, bd + 2, bh + 2, wga, gci) if bn > 1
+                 else (bd + 2, bh + 2, wga, gci))
     scratch = [
-        pltpu.VMEM((bd + 2, bh + 2, wga, gci), xp.dtype),
-        pltpu.VMEM((bd + 2, bh + 2, wga, gci), xp.dtype),
+        pltpu.VMEM(buf_shape, xp.dtype),
+        pltpu.VMEM(buf_shape, xp.dtype),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if cat:
         scratch.append(pltpu.VMEM((bd * bh * wg, 9 * gci), xp.dtype))
     dbm, dbl, dbr = pl.pallas_call(
         kernel,
-        grid=(n, d // bd, h // bh),
+        grid=(n // bn, d // bd, h // bh),
         in_specs=in_specs,
         out_specs=(out_spec(dbm_shape),
                    out_spec((3, 3, side_k, gco)),
@@ -715,6 +788,44 @@ def _ns_bwd(g, neg_slope, res, cts):
 
 
 conv3d_packed_ns.defvjp(_ns_fwd, _ns_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3d_packed_dual_stats(x1: jax.Array, x2: jax.Array, w: jax.Array,
+                             g: int):
+    """Split-weight pair ``conv(x1, w[:ci]) + conv(x2, w[ci:])`` returning
+    ``(y, stats)`` — the decoder's skip-concat conv. The add AND the summed
+    tensor's instance-norm statistics run inside the second half's kernel,
+    replacing a standalone XLA add pass + stats reduction pass (the halves'
+    sumsq values cannot be combined after the fact)."""
+    ci = x1.shape[-1] // g
+    y1 = _conv3d_banded_packed(x1, w[..., :ci, :], g)
+    return _conv3d_banded_packed_f(x2, w[..., ci:, :], g, emit_stats=True,
+                                   add_to=y1)
+
+
+def _dual_fwd(x1, x2, w, g):
+    y, st = conv3d_packed_dual_stats(x1, x2, w, g)
+    return (y, st), (x1, x2, w, y)
+
+
+def _dual_bwd(g, res, cts):
+    x1, x2, w, y = res
+    gy, gs = cts
+    ci = x1.shape[-1] // g
+    gyb = _stats_grad_correction(gy, gs, y).astype(x1.dtype)
+    w1, w2 = w[..., :ci, :], w[..., ci:, :]
+    f1 = jnp.flip(w1, (0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    f2 = jnp.flip(w2, (0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    dx1 = _conv3d_banded_packed(gyb, f1, g)
+    dx2 = _conv3d_banded_packed(gyb, f2, g)
+    dw1 = conv3d_dw_packed(x1, gyb, g, w1.shape)
+    dw2 = conv3d_dw_packed(x2, gyb, g, w2.shape)
+    dw = jnp.concatenate([dw1, dw2], axis=-2).astype(w.dtype)
+    return dx1, dx2, dw
+
+
+conv3d_packed_dual_stats.defvjp(_dual_fwd, _dual_bwd)
 
 
 def _ref_conv(x, w):

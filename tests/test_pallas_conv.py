@@ -176,6 +176,51 @@ def test_fused_block_pipeline_matches_unfused(rng):
                                rtol=1e-3, atol=1e-3)
 
 
+def test_dual_stats_matches_sum(rng):
+    """conv3d_packed_dual_stats == conv(x1,w1)+conv(x2,w2) with stats of the
+    SUM, and its gradients match the composed reference."""
+    from mt3d_resenc_unet_tpu.ops.pallas_conv import conv3d_packed_dual_stats
+
+    g = 4
+    x1 = jnp.asarray(
+        rng.standard_normal((2, 8, 8, 4, 128)).astype(np.float32))
+    x2 = jnp.asarray(
+        rng.standard_normal((2, 8, 8, 4, 128)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((3, 3, 3, 64, 32)).astype(np.float32) * 0.1)
+    y, st = conv3d_packed_dual_stats(x1, x2, w, g)
+    want = (conv3d_packed(x1, w[..., :32, :], g)
+            + conv3d_packed(x2, w[..., 32:, :], g))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    yf = np.asarray(want, np.float32)
+    np.testing.assert_allclose(np.asarray(st[:, 0]), yf.sum((1, 2, 3)),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(st[:, 1]), (yf * yf).sum((1, 2, 3)),
+                               rtol=1e-3, atol=1e-3)
+
+    gy = jnp.asarray(rng.standard_normal(y.shape).astype(np.float32))
+    gs = jnp.asarray(rng.standard_normal((2, 2, 128)).astype(np.float32) * .1)
+
+    def loss_fused(x1, x2, w):
+        y, st = conv3d_packed_dual_stats(x1, x2, w, g)
+        return jnp.sum(y * gy) + jnp.sum(st * gs)
+
+    def loss_ref(x1, x2, w):
+        y = (conv3d_packed(x1, w[..., :32, :], g)
+             + conv3d_packed(x2, w[..., 32:, :], g))
+        st = jnp.stack([jnp.sum(y, (1, 2, 3)),
+                        jnp.sum(y * y, (1, 2, 3))], axis=1)
+        return jnp.sum(y * gy) + jnp.sum(st * gs)
+
+    got = jax.grad(loss_fused, (0, 1, 2))(x1, x2, w)
+    want_g = jax.grad(loss_ref, (0, 1, 2))(x1, x2, w)
+    for a, b, name in zip(got, want_g, ("dx1", "dx2", "dw")):
+        sc = float(jnp.max(jnp.abs(b))) + 1e-8
+        np.testing.assert_allclose(np.asarray(a) / sc, np.asarray(b) / sc,
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
+
+
 def test_dense_g1_big_channels(rng):
     """The g=1 class: deep-stage convs (C >= 256) run as ONE kernel with
     dense per-tap GEMMs (zero structural-zero FLOPs) instead of XLA's
