@@ -178,6 +178,18 @@ def _cat_env() -> bool:
     return os.environ.get("MT3D_CONV_CAT", "0") == "1"
 
 
+def _sidepair_env() -> bool:
+    """MT3D_CONV_SIDEPAIR=1 merges each (dz, dy)'s two narrow side GEMMs
+    (K = side_k each) into ONE GEMM of K = 2*side_k via a small VMEM concat
+    scratch, halving side-GEMM issues (27 -> 18 per tile). Measured 3%
+    SLOWER on v5e (5.86 vs 6.05 patches/s, 2026-08-17): the VPU concat
+    copies cost more than the saved MXU issue overhead — the kernel is not
+    issue-bound. Kept env-gated off. Only applies at g >= 2 (at g = 1 the
+    sides are already full-K)."""
+    import os
+    return os.environ.get("MT3D_CONV_SIDEPAIR", "0") == "1"
+
+
 def _pick_bn(n: int, d: int, h: int, wga: int, gc: int, itemsize: int,
              budget_bytes: int = 6 << 20) -> int:
     """Batch-block for whole-plane tiles (g=1 deep stages): the spatial
@@ -193,7 +205,7 @@ def _pick_bn(n: int, d: int, h: int, wga: int, gc: int, itemsize: int,
 def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
                  pre: bool = False, stats: bool = False,
                  neg_slope: float = 1e-2, cat: bool = False,
-                 addin: bool = False, bn: int = 1):
+                 addin: bool = False, bn: int = 1, sidepair: bool = False):
     """Double-buffered: the halo tile for grid step k+1 streams in while
     step k computes. The two buffers are distinct scratch refs selected with
     static ``pl.when`` branches — a dynamic leading-index slice of one
@@ -208,13 +220,18 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
       norm statistics of this conv's output come out for free.
     """
     it = iter(refs)
-    x_hbm, bm_ref, bl_ref, br_ref = next(it), next(it), next(it), next(it)
+    x_hbm, bm_ref = next(it), next(it)
+    if sidepair:
+        bs_ref, bl_ref, br_ref = next(it), None, None
+    else:
+        bs_ref, bl_ref, br_ref = None, next(it), next(it)
     pre_ref = next(it) if pre else None
     add_ref = next(it) if addin else None
     y_ref = next(it)
     stats_ref = next(it) if stats else None
     x_s0, x_s1, sem = next(it), next(it), next(it)
     xcat = next(it) if cat else None
+    xside = next(it) if sidepair else None
 
     ni = pl.program_id(0)
     di = pl.program_id(1)
@@ -287,10 +304,17 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
                     rows = x_s[dz:dz + bd, dy:dy + bh]
                     left = rows[:, :, 0:wg, gci - side_k:gci].reshape(
                         m, side_k)
+                    right = rows[:, :, 2:wg + 2, 0:side_k].reshape(m, side_k)
+                    if sidepair:
+                        xside[:, 0:side_k] = left
+                        xside[:, side_k:] = right
+                        acc += lax.dot_general(
+                            xside[...], bs_ref[dz, dy], dn,
+                            preferred_element_type=jnp.float32)
+                        continue
                     acc += lax.dot_general(
                         left, bl_ref[dz, dy], dn,
                         preferred_element_type=jnp.float32)
-                    right = rows[:, :, 2:wg + 2, 0:side_k].reshape(m, side_k)
                     acc += lax.dot_general(
                         right, br_ref[dz, dy], dn,
                         preferred_element_type=jnp.float32)
@@ -310,12 +334,19 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
                     left = rows[nb + (slice(None), slice(None), slice(0, wg),
                                       slice(gci - side_k, gci))].reshape(
                         m, side_k)
-                    acc += lax.dot_general(
-                        left, bl_ref[dz, dy], dn,
-                        preferred_element_type=jnp.float32)
                     right = rows[nb + (slice(None), slice(None),
                                        slice(2, wg + 2),
                                        slice(0, side_k))].reshape(m, side_k)
+                    if sidepair:
+                        xside[:, 0:side_k] = left
+                        xside[:, side_k:] = right
+                        acc += lax.dot_general(
+                            xside[...], bs_ref[dz, dy], dn,
+                            preferred_element_type=jnp.float32)
+                        continue
+                    acc += lax.dot_general(
+                        left, bl_ref[dz, dy], dn,
+                        preferred_element_type=jnp.float32)
                     acc += lax.dot_general(
                         right, br_ref[dz, dy], dn,
                         preferred_element_type=jnp.float32)
@@ -382,21 +413,33 @@ def _conv3d_banded_packed_f(xp: jax.Array, w: jax.Array, g: int,
     b_mid, b_left, b_right = build_banded_weights(w.astype(xp.dtype), g)
     if cat:
         b_mid = b_mid.reshape(9 * gci, gco)
+    sidepair = _sidepair_env() and g >= 2
+    side_k = gci if g == 1 else (ci if gci <= 128 else 128)
 
     kernel = functools.partial(_conv_kernel, g=g, ci=ci, co=co, bd=bd, bh=bh,
                                pre=pre_vec is not None, stats=emit_stats,
                                neg_slope=neg_slope, cat=cat,
-                               addin=add_to is not None, bn=bn)
+                               addin=add_to is not None, bn=bn,
+                               sidepair=sidepair)
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda ni, di, hi: (0,) * len(shape),
         memory_space=pltpu.VMEM)
-    in_specs = [
-        pl.BlockSpec(memory_space=pl.ANY),       # packed input (HBM)
-        const_spec(b_mid.shape),
-        const_spec(b_left.shape),
-        const_spec(b_right.shape),
-    ]
-    operands = [xpp, b_mid, b_left, b_right]
+    if sidepair:
+        b_side = jnp.concatenate([b_left, b_right], axis=2)
+        in_specs = [
+            pl.BlockSpec(memory_space=pl.ANY),   # packed input (HBM)
+            const_spec(b_mid.shape),
+            const_spec(b_side.shape),
+        ]
+        operands = [xpp, b_mid, b_side]
+    else:
+        in_specs = [
+            pl.BlockSpec(memory_space=pl.ANY),   # packed input (HBM)
+            const_spec(b_mid.shape),
+            const_spec(b_left.shape),
+            const_spec(b_right.shape),
+        ]
+        operands = [xpp, b_mid, b_left, b_right]
     if pre_vec is not None:
         in_specs.append(pl.BlockSpec((1, 2, gci),
                                      lambda ni, di, hi: (ni, 0, 0),
@@ -426,6 +469,8 @@ def _conv3d_banded_packed_f(xp: jax.Array, w: jax.Array, g: int,
     ]
     if cat:
         scratch.append(pltpu.VMEM((bd * bh * wg, 9 * gci), xp.dtype))
+    if sidepair:
+        scratch.append(pltpu.VMEM((bd * bh * wg, 2 * side_k), xp.dtype))
     return pl.pallas_call(
         kernel,
         grid=(n // bn, d // bd, h // bh),
@@ -456,7 +501,7 @@ def _conv3d_banded_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
 
 def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
                side_k: int, pre: bool = False, neg_slope: float = 1e-2,
-               cat: bool = False, bn: int = 1):
+               cat: bool = False, bn: int = 1, sidepair: bool = False):
     """dB[dz, dy] += patches^T @ gy, accumulated in fp32 VMEM scratch across
     the sequential grid; the banded gradients are written at the last step.
     The contraction runs over the (huge) spatial dim with BOTH output dims
@@ -468,13 +513,19 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     it = iter(refs)
     x_hbm, gy_ref = next(it), next(it)
     pre_ref = next(it) if pre else None
-    dbm_ref, dbl_ref, dbr_ref = next(it), next(it), next(it)
+    if sidepair:
+        dbm_ref, dbs_ref = next(it), next(it)
+        dbl_ref = dbr_ref = None
+    else:
+        dbm_ref, dbl_ref, dbr_ref = next(it), next(it), next(it)
+        dbs_ref = None
     x_s0, x_s1, sem = next(it), next(it), next(it)
     xcat = next(it) if cat else None
+    xside = next(it) if sidepair else None
     # fp32 accumulation happens directly in the (constant-index, hence
     # VMEM-revolving) output blocks — separate scratch accumulators would
     # double the banded-gradient VMEM (28 MB at C=512)
-    acc_m, acc_l, acc_r = dbm_ref, dbl_ref, dbr_ref
+    acc_m, acc_l, acc_r, acc_s = dbm_ref, dbl_ref, dbr_ref, dbs_ref
 
     ni = pl.program_id(0)
     di = pl.program_id(1)
@@ -505,8 +556,11 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     def _():
         tile_dma(x_s0, 0, ni, di, hi).start()
         acc_m[...] = jnp.zeros_like(acc_m)
-        acc_l[...] = jnp.zeros_like(acc_l)
-        acc_r[...] = jnp.zeros_like(acc_r)
+        if sidepair:
+            acc_s[...] = jnp.zeros_like(acc_s)
+        else:
+            acc_l[...] = jnp.zeros_like(acc_l)
+            acc_r[...] = jnp.zeros_like(acc_r)
 
     nk = k + 1
     n_ni = nk // (nd * nh)
@@ -561,11 +615,18 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
                 left = rows[nb + (slice(None), slice(None), slice(0, wg),
                                   slice(gci - side_k, gci))].reshape(
                     m, side_k)
-                acc_l[dz, dy] += lax.dot_general(
-                    left, gy, dn, preferred_element_type=jnp.float32)
                 right = rows[nb + (slice(None), slice(None),
                                    slice(2, wg + 2),
                                    slice(0, side_k))].reshape(m, side_k)
+                if sidepair:
+                    xside[:, 0:side_k] = left
+                    xside[:, side_k:] = right
+                    acc_s[dz, dy] += lax.dot_general(
+                        xside[...], gy, dn,
+                        preferred_element_type=jnp.float32)
+                    continue
+                acc_l[dz, dy] += lax.dot_general(
+                    left, gy, dn, preferred_element_type=jnp.float32)
                 acc_r[dz, dy] += lax.dot_general(
                     right, gy, dn, preferred_element_type=jnp.float32)
 
@@ -622,12 +683,14 @@ def conv3d_dw_packed(xp: jax.Array, gyp: jax.Array, g: int,
     else:
         bn = 1
     side_k = gci if g == 1 else (ci if gci <= 128 else 128)
+    sidepair = _sidepair_env() and g >= 2 and not cat
 
     xpp = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (1, wga - (wg + 1)), (0, 0)))
 
     kernel = functools.partial(_dw_kernel, g=g, ci=ci, co=co, bd=bd, bh=bh,
                                side_k=side_k, pre=pre_vec is not None,
-                               neg_slope=neg_slope, cat=cat, bn=bn)
+                               neg_slope=neg_slope, cat=cat, bn=bn,
+                               sidepair=sidepair)
     out_spec = lambda shape: pl.BlockSpec(
         shape, lambda ni, di, hi: (0,) * len(shape),
         memory_space=pltpu.VMEM)
@@ -653,19 +716,33 @@ def conv3d_dw_packed(xp: jax.Array, gyp: jax.Array, g: int,
     ]
     if cat:
         scratch.append(pltpu.VMEM((bd * bh * wg, 9 * gci), xp.dtype))
-    dbm, dbl, dbr = pl.pallas_call(
+    if sidepair:
+        scratch.append(pltpu.VMEM((bd * bh * wg, 2 * side_k), xp.dtype))
+        out_specs = (out_spec(dbm_shape), out_spec((3, 3, 2 * side_k, gco)))
+        out_shape = (jax.ShapeDtypeStruct(dbm_shape, jnp.float32),
+                     jax.ShapeDtypeStruct((3, 3, 2 * side_k, gco),
+                                          jnp.float32))
+    else:
+        out_specs = (out_spec(dbm_shape),
+                     out_spec((3, 3, side_k, gco)),
+                     out_spec((3, 3, side_k, gco)))
+        out_shape = (jax.ShapeDtypeStruct(dbm_shape, jnp.float32),
+                     jax.ShapeDtypeStruct((3, 3, side_k, gco), jnp.float32),
+                     jax.ShapeDtypeStruct((3, 3, side_k, gco), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=(n // bn, d // bd, h // bh),
         in_specs=in_specs,
-        out_specs=(out_spec(dbm_shape),
-                   out_spec((3, 3, side_k, gco)),
-                   out_spec((3, 3, side_k, gco))),
-        out_shape=(jax.ShapeDtypeStruct(dbm_shape, jnp.float32),
-                   jax.ShapeDtypeStruct((3, 3, side_k, gco), jnp.float32),
-                   jax.ShapeDtypeStruct((3, 3, side_k, gco), jnp.float32)),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=_VMEM_LIMIT,
     )(*operands)
+    if sidepair:
+        dbm, dbs = outs
+        dbl, dbr = dbs[:, :, :side_k], dbs[:, :, side_k:]
+    else:
+        dbm, dbl, dbr = outs
     if cat:
         dbm = dbm.reshape(3, 3, gci, gco)
     return _dw_from_banded(dbm, dbl, dbr, g, ci, co, side_k, jnp.float32)
