@@ -39,29 +39,48 @@ from mt3d_resenc_unet_tpu.ops.pallas_conv import (
     _VMEM_LIMIT, _pick_tile, build_banded_weights)
 
 
-def make_variant(mode, n, d, h, wg, gci, gco, side_k, dtype=jnp.bfloat16):
+def make_variant(mode, n, d, h, wg, gci, gco, side_k, dtype=jnp.bfloat16,
+                 tile=None, split=1):
     sub = 16 if dtype == jnp.bfloat16 else 8
     wga = ((wg + 2 + sub - 1) // sub) * sub
-    bd, bh = _pick_tile(d, h, wga, max(gci, gco), jnp.dtype(dtype).itemsize)
+    if tile is not None:
+        bd, bh = tile
+    else:
+        bd, bh = _pick_tile(d, h, wga, max(gci, gco),
+                            jnp.dtype(dtype).itemsize)
     m = bd * bh * wg
     m_full = bd * (bh + 2) * wga
     dn = (((1,), (0,)), ((), ()))
+    assert (bd + 2) % split == 0
+    rows_per = (bd + 2) // split
 
     def kernel(x_hbm, bm_ref, bl_ref, br_ref, y_ref, x_s0, x_s1, sem):
         ni, di, hi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
         nd, nh = pl.num_programs(1), pl.num_programs(2)
 
-        def tile_dma(buf, sl, a, b, c):
-            return pltpu.make_async_copy(
-                x_hbm.at[a, pl.ds(b * bd, bd + 2), pl.ds(c * bh, bh + 2)],
-                buf, sem.at[sl])
+        def tile_dmas(buf, sl, a, b, c):
+            # `split` concurrent sub-copies along the leading axis, each on
+            # its own semaphore — probes per-DMA-stream bandwidth limits
+            return [pltpu.make_async_copy(
+                x_hbm.at[a, pl.ds(b * bd + s * rows_per, rows_per),
+                         pl.ds(c * bh, bh + 2)],
+                buf.at[pl.ds(s * rows_per, rows_per)], sem.at[sl, s])
+                for s in range(split)]
+
+        def start(buf, sl, a, b, c):
+            for dma in tile_dmas(buf, sl, a, b, c):
+                dma.start()
+
+        def wait(buf, sl, a, b, c):
+            for dma in tile_dmas(buf, sl, a, b, c):
+                dma.wait()
 
         k = (ni * nd + di) * nh + hi
         total = pl.num_programs(0) * nd * nh
 
         @pl.when(k == 0)
         def _():
-            tile_dma(x_s0, 0, ni, di, hi).start()
+            start(x_s0, 0, ni, di, hi)
 
         nk = k + 1
         n_ni = nk // (nd * nh)
@@ -70,11 +89,11 @@ def make_variant(mode, n, d, h, wg, gci, gco, side_k, dtype=jnp.bfloat16):
 
         @pl.when((nk < total) & (nk % 2 == 0))
         def _():
-            tile_dma(x_s0, 0, n_ni, n_di, n_hi).start()
+            start(x_s0, 0, n_ni, n_di, n_hi)
 
         @pl.when((nk < total) & (nk % 2 == 1))
         def _():
-            tile_dma(x_s1, 1, n_ni, n_di, n_hi).start()
+            start(x_s1, 1, n_ni, n_di, n_hi)
 
         def compute(x_s):
             if mode == "nogemm":
@@ -103,13 +122,19 @@ def make_variant(mode, n, d, h, wg, gci, gco, side_k, dtype=jnp.bfloat16):
                             preferred_element_type=jnp.float32)
                         if mode == "noside":
                             continue
-                        left = rows[:, :, 0:wg,
-                                    gci - side_k:gci].reshape(m, side_k)
+                        if mode == "wideside":
+                            # full-lane side operands (w-shift only, no
+                            # lane slice) against zero-row-extended weights
+                            left = rows[:, :, 0:wg].reshape(m, gci)
+                            right = rows[:, :, 2:wg + 2].reshape(m, gci)
+                        else:
+                            left = rows[:, :, 0:wg,
+                                        gci - side_k:gci].reshape(m, side_k)
+                            right = rows[:, :, 2:wg + 2,
+                                         0:side_k].reshape(m, side_k)
                         acc += lax.dot_general(
                             left, bl_ref[dz, dy], dn,
                             preferred_element_type=jnp.float32)
-                        right = rows[:, :, 2:wg + 2,
-                                     0:side_k].reshape(m, side_k)
                         acc += lax.dot_general(
                             right, br_ref[dz, dy], dn,
                             preferred_element_type=jnp.float32)
@@ -117,12 +142,12 @@ def make_variant(mode, n, d, h, wg, gci, gco, side_k, dtype=jnp.bfloat16):
 
         @pl.when(k % 2 == 0)
         def _():
-            tile_dma(x_s0, 0, ni, di, hi).wait()
+            wait(x_s0, 0, ni, di, hi)
             compute(x_s0)
 
         @pl.when(k % 2 == 1)
         def _():
-            tile_dma(x_s1, 1, ni, di, hi).wait()
+            wait(x_s1, 1, ni, di, hi)
             compute(x_s1)
 
     def run(xpp, b_mid, b_left, b_right):
@@ -142,7 +167,7 @@ def make_variant(mode, n, d, h, wg, gci, gco, side_k, dtype=jnp.bfloat16):
             scratch_shapes=[
                 pltpu.VMEM((bd + 2, bh + 2, wga, gci), dtype),
                 pltpu.VMEM((bd + 2, bh + 2, wga, gci), dtype),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2, split)),
             ],
             compiler_params=_VMEM_LIMIT,
         )(xpp, b_mid, b_left, b_right)
@@ -172,15 +197,34 @@ def main():
     print(f"shape=({n},{d},{h},{w}) C={ci} g={g}; useful "
           f"{useful / 1e9:.1f} GFLOP/call")
 
-    for mode in ("full", "noside", "contig", "nogemm"):
-        run, tile = make_variant(mode, n, d, h, wg, gci, gco, side_k)
+    # (mode, tile, split): tile None = production _pick_tile; split = S
+    # concurrent sub-DMAs per tile (probes per-stream bandwidth: full-H
+    # contiguous tiles showed the same ~190 GB/s as 12 KB-row tiles, so
+    # the limit is not descriptor rate)
+    # zero-row-extended side weights for the wideside variant: the left
+    # rows live in the LAST ci lanes, right rows in the FIRST ci
+    blw = jnp.zeros((3, 3, gci, gco), b_left.dtype)
+    blw = blw.at[:, :, gci - side_k:].set(b_left)
+    brw = jnp.zeros((3, 3, gci, gco), b_right.dtype)
+    brw = brw.at[:, :, :side_k].set(b_right)
+
+    cases = [("full", None, 1), ("wideside", None, 1),
+             ("wideside", None, 1), ("full", None, 1),
+             ("noside", None, 1), ("nogemm", None, 1)]
+    for mode, tl, sp in cases:
+        run, tile = make_variant(mode, n, d, h, wg, gci, gco, side_k,
+                                 tile=tl, split=sp)
+        if mode == "wideside":
+            bl_use, br_use = blw, brw
+        else:
+            bl_use, br_use = b_left, b_right
 
         def chained(xpp):
-            y = run(xpp, b_mid, b_left, b_right)
+            y = run(xpp, b_mid, bl_use, br_use)
             for i in range(R - 1):
                 # perturb so XLA can't CSE; reuse y to chain dependencies
                 y = run(xpp + (y.mean() * 1e-12).astype(xpp.dtype),
-                        b_mid, b_left, b_right)
+                        b_mid, bl_use, br_use)
             return y
 
         f = jax.jit(chained)
@@ -190,8 +234,8 @@ def main():
         y = f(xpp)
         np.asarray(y[0, 0, 0, 0, 0])
         dt = (time.perf_counter() - t0) / R
-        print(f"  {mode:<8} tile={tile}  {dt * 1e3:7.3f} ms/call  "
-              f"useful {useful / dt / 1e12:6.1f} TF/s")
+        print(f"  {mode:<8} tile={tile} split={sp}  {dt * 1e3:7.3f} "
+              f"ms/call  useful {useful / dt / 1e12:6.1f} TF/s")
 
 
 if __name__ == "__main__":

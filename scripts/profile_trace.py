@@ -137,6 +137,13 @@ def analyze(tracedir, steps, top):
     for name, (dur, cnt) in sorted(per_op.items(),
                                    key=lambda kv: -kv[1][0])[:top]:
         print(f"  {dur / 1e3 / steps:8.2f}  x{cnt // steps:<4} {name[:90]}")
+    for cat in ("other", "copy", "fusion"):
+        rows = [(n_, v) for n_, v in per_op.items() if classify(n_) == cat]
+        rows.sort(key=lambda kv: -kv[1][0])
+        print(f"\ntop 15 '{cat}' ops (ms/step):")
+        for name, (dur, cnt) in rows[:15]:
+            print(f"  {dur / 1e3 / steps:8.2f}  x{cnt // steps:<4} "
+                  f"{name[:90]}")
 
 
 def main():
