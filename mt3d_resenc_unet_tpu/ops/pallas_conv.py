@@ -178,16 +178,21 @@ def _cat_env() -> bool:
     return os.environ.get("MT3D_CONV_CAT", "0") == "1"
 
 
-def _sidepair_env() -> bool:
-    """MT3D_CONV_SIDEPAIR=1 merges each (dz, dy)'s two narrow side GEMMs
-    (K = side_k each) into ONE GEMM of K = 2*side_k via a small VMEM concat
-    scratch, halving side-GEMM issues (27 -> 18 per tile). Measured 3%
-    SLOWER on v5e (5.86 vs 6.05 patches/s, 2026-08-17): the VPU concat
-    copies cost more than the saved MXU issue overhead — the kernel is not
-    issue-bound. Kept env-gated off. Only applies at g >= 2 (at g = 1 the
-    sides are already full-K)."""
+def _sideshare_env() -> bool:
+    """MT3D_CONV_SIDESHARE=0 disables the shared side-concat buffer.
+
+    Side GEMMs are MXU-issue-latency-bound (~0.6us/issue regardless of
+    operand form — kernel-anatomy measurement, 2026-08-17), so 18 of them
+    dominate per-tile compute. This path builds ONE (bd+2, bh+2, wg,
+    2*side_k) buffer per tile holding (left-lane-block, right-lane-block
+    pre-shifted by the +2 w-offset) so every (dz, dy) gets its combined
+    side operand as a plain slice — 9 side issues instead of 18 for two
+    buffer writes per tile. The earlier per-(dz, dy) concat variant
+    (SIDEPAIR) rebuilt the operand 18 times and measured 3% slower; the
+    shared buffer amortizes the copies 9x. Only applies at g >= 2 (at
+    g = 1 the sides are already full-K)."""
     import os
-    return os.environ.get("MT3D_CONV_SIDEPAIR", "0") == "1"
+    return os.environ.get("MT3D_CONV_SIDESHARE", "1") == "1"
 
 
 def _pick_bn(n: int, d: int, h: int, wga: int, gc: int, itemsize: int,
@@ -205,7 +210,7 @@ def _pick_bn(n: int, d: int, h: int, wga: int, gc: int, itemsize: int,
 def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
                  pre: bool = False, stats: bool = False,
                  neg_slope: float = 1e-2, cat: bool = False,
-                 addin: bool = False, bn: int = 1, sidepair: bool = False):
+                 addin: bool = False, bn: int = 1, sideshare: bool = False):
     """Double-buffered: the halo tile for grid step k+1 streams in while
     step k computes. The two buffers are distinct scratch refs selected with
     static ``pl.when`` branches — a dynamic leading-index slice of one
@@ -221,7 +226,7 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     """
     it = iter(refs)
     x_hbm, bm_ref = next(it), next(it)
-    if sidepair:
+    if sideshare:
         bs_ref, bl_ref, br_ref = next(it), None, None
     else:
         bs_ref, bl_ref, br_ref = None, next(it), next(it)
@@ -231,7 +236,7 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     stats_ref = next(it) if stats else None
     x_s0, x_s1, sem = next(it), next(it), next(it)
     xcat = next(it) if cat else None
-    xside = next(it) if sidepair else None
+    scat = next(it) if sideshare else None
 
     ni = pl.program_id(0)
     di = pl.program_id(1)
@@ -287,6 +292,12 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
             x_s = _tile_norm(x_buf, pre_ref, di, hi, bd, bh, wg, neg_slope)
         else:
             x_s = x_buf[...]
+        if sideshare:
+            # one shared (left, right-shifted-by-2) buffer per tile: every
+            # (dz, dy)'s combined side operand is then a plain slice, so the
+            # two narrow side GEMMs merge into one K=2*side_k issue
+            scat[:, :, :, 0:side_k] = x_s[:, :, 0:wg, gci - side_k:gci]
+            scat[:, :, :, side_k:] = x_s[:, :, 2:wg + 2, 0:side_k]
         if cat:
             # single long-K mid GEMM: stack the 9 shifted operands along
             # lanes (128-aligned slots) and contract against the stacked
@@ -301,17 +312,17 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
                                   preferred_element_type=jnp.float32)
             for dz in range(3):
                 for dy in range(3):
+                    if sideshare:
+                        side = scat[dz:dz + bd, dy:dy + bh].reshape(
+                            m, 2 * side_k)
+                        acc += lax.dot_general(
+                            side, bs_ref[dz, dy], dn,
+                            preferred_element_type=jnp.float32)
+                        continue
                     rows = x_s[dz:dz + bd, dy:dy + bh]
                     left = rows[:, :, 0:wg, gci - side_k:gci].reshape(
                         m, side_k)
                     right = rows[:, :, 2:wg + 2, 0:side_k].reshape(m, side_k)
-                    if sidepair:
-                        xside[:, 0:side_k] = left
-                        xside[:, side_k:] = right
-                        acc += lax.dot_general(
-                            xside[...], bs_ref[dz, dy], dn,
-                            preferred_element_type=jnp.float32)
-                        continue
                     acc += lax.dot_general(
                         left, bl_ref[dz, dy], dn,
                         preferred_element_type=jnp.float32)
@@ -331,19 +342,19 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
                     acc += lax.dot_general(
                         mid, bm_ref[dz, dy], dn,
                         preferred_element_type=jnp.float32)
+                    if sideshare:
+                        side = scat[dz:dz + bd, dy:dy + bh].reshape(
+                            m, 2 * side_k)
+                        acc += lax.dot_general(
+                            side, bs_ref[dz, dy], dn,
+                            preferred_element_type=jnp.float32)
+                        continue
                     left = rows[nb + (slice(None), slice(None), slice(0, wg),
                                       slice(gci - side_k, gci))].reshape(
                         m, side_k)
                     right = rows[nb + (slice(None), slice(None),
                                        slice(2, wg + 2),
                                        slice(0, side_k))].reshape(m, side_k)
-                    if sidepair:
-                        xside[:, 0:side_k] = left
-                        xside[:, side_k:] = right
-                        acc += lax.dot_general(
-                            xside[...], bs_ref[dz, dy], dn,
-                            preferred_element_type=jnp.float32)
-                        continue
                     acc += lax.dot_general(
                         left, bl_ref[dz, dy], dn,
                         preferred_element_type=jnp.float32)
@@ -413,18 +424,18 @@ def _conv3d_banded_packed_f(xp: jax.Array, w: jax.Array, g: int,
     b_mid, b_left, b_right = build_banded_weights(w.astype(xp.dtype), g)
     if cat:
         b_mid = b_mid.reshape(9 * gci, gco)
-    sidepair = _sidepair_env() and g >= 2
+    sideshare = _sideshare_env() and g >= 2 and bn == 1
     side_k = gci if g == 1 else (ci if gci <= 128 else 128)
 
     kernel = functools.partial(_conv_kernel, g=g, ci=ci, co=co, bd=bd, bh=bh,
                                pre=pre_vec is not None, stats=emit_stats,
                                neg_slope=neg_slope, cat=cat,
                                addin=add_to is not None, bn=bn,
-                               sidepair=sidepair)
+                               sideshare=sideshare)
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda ni, di, hi: (0,) * len(shape),
         memory_space=pltpu.VMEM)
-    if sidepair:
+    if sideshare:
         b_side = jnp.concatenate([b_left, b_right], axis=2)
         in_specs = [
             pl.BlockSpec(memory_space=pl.ANY),   # packed input (HBM)
@@ -469,8 +480,9 @@ def _conv3d_banded_packed_f(xp: jax.Array, w: jax.Array, g: int,
     ]
     if cat:
         scratch.append(pltpu.VMEM((bd * bh * wg, 9 * gci), xp.dtype))
-    if sidepair:
-        scratch.append(pltpu.VMEM((bd * bh * wg, 2 * side_k), xp.dtype))
+    if sideshare:
+        scratch.append(
+            pltpu.VMEM((bd + 2, bh + 2, wg, 2 * side_k), xp.dtype))
     return pl.pallas_call(
         kernel,
         grid=(n // bn, d // bd, h // bh),
@@ -501,7 +513,7 @@ def _conv3d_banded_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
 
 def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
                side_k: int, pre: bool = False, neg_slope: float = 1e-2,
-               cat: bool = False, bn: int = 1, sidepair: bool = False):
+               cat: bool = False, bn: int = 1, sideshare: bool = False):
     """dB[dz, dy] += patches^T @ gy, accumulated in fp32 VMEM scratch across
     the sequential grid; the banded gradients are written at the last step.
     The contraction runs over the (huge) spatial dim with BOTH output dims
@@ -513,7 +525,7 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     it = iter(refs)
     x_hbm, gy_ref = next(it), next(it)
     pre_ref = next(it) if pre else None
-    if sidepair:
+    if sideshare:
         dbm_ref, dbs_ref = next(it), next(it)
         dbl_ref = dbr_ref = None
     else:
@@ -521,7 +533,7 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
         dbs_ref = None
     x_s0, x_s1, sem = next(it), next(it), next(it)
     xcat = next(it) if cat else None
-    xside = next(it) if sidepair else None
+    scat = next(it) if sideshare else None
     # fp32 accumulation happens directly in the (constant-index, hence
     # VMEM-revolving) output blocks — separate scratch accumulators would
     # double the banded-gradient VMEM (28 MB at C=512)
@@ -556,7 +568,7 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     def _():
         tile_dma(x_s0, 0, ni, di, hi).start()
         acc_m[...] = jnp.zeros_like(acc_m)
-        if sidepair:
+        if sideshare:
             acc_s[...] = jnp.zeros_like(acc_s)
         else:
             acc_l[...] = jnp.zeros_like(acc_l)
@@ -605,6 +617,9 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
                     acc_r[dz, dy] += lax.dot_general(
                         right, gy, dn, preferred_element_type=jnp.float32)
             return
+        if sideshare:
+            scat[:, :, :, 0:side_k] = x_s[:, :, 0:wg, gci - side_k:gci]
+            scat[:, :, :, side_k:] = x_s[:, :, 2:wg + 2, 0:side_k]
         for dz in range(3):
             for dy in range(3):
                 rows = x_s[nb + (slice(dz, dz + bd), slice(dy, dy + bh))]
@@ -612,19 +627,18 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
                                  slice(1, wg + 1))].reshape(m, gci)
                 acc_m[dz, dy] += lax.dot_general(
                     mid, gy, dn, preferred_element_type=jnp.float32)
+                if sideshare:
+                    side = scat[dz:dz + bd, dy:dy + bh].reshape(
+                        m, 2 * side_k)
+                    acc_s[dz, dy] += lax.dot_general(
+                        side, gy, dn, preferred_element_type=jnp.float32)
+                    continue
                 left = rows[nb + (slice(None), slice(None), slice(0, wg),
                                   slice(gci - side_k, gci))].reshape(
                     m, side_k)
                 right = rows[nb + (slice(None), slice(None),
                                    slice(2, wg + 2),
                                    slice(0, side_k))].reshape(m, side_k)
-                if sidepair:
-                    xside[:, 0:side_k] = left
-                    xside[:, side_k:] = right
-                    acc_s[dz, dy] += lax.dot_general(
-                        xside[...], gy, dn,
-                        preferred_element_type=jnp.float32)
-                    continue
                 acc_l[dz, dy] += lax.dot_general(
                     left, gy, dn, preferred_element_type=jnp.float32)
                 acc_r[dz, dy] += lax.dot_general(
@@ -683,14 +697,14 @@ def conv3d_dw_packed(xp: jax.Array, gyp: jax.Array, g: int,
     else:
         bn = 1
     side_k = gci if g == 1 else (ci if gci <= 128 else 128)
-    sidepair = _sidepair_env() and g >= 2 and not cat
+    sideshare = _sideshare_env() and g >= 2 and not cat and bn == 1
 
     xpp = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (1, wga - (wg + 1)), (0, 0)))
 
     kernel = functools.partial(_dw_kernel, g=g, ci=ci, co=co, bd=bd, bh=bh,
                                side_k=side_k, pre=pre_vec is not None,
                                neg_slope=neg_slope, cat=cat, bn=bn,
-                               sidepair=sidepair)
+                               sideshare=sideshare)
     out_spec = lambda shape: pl.BlockSpec(
         shape, lambda ni, di, hi: (0,) * len(shape),
         memory_space=pltpu.VMEM)
@@ -716,8 +730,9 @@ def conv3d_dw_packed(xp: jax.Array, gyp: jax.Array, g: int,
     ]
     if cat:
         scratch.append(pltpu.VMEM((bd * bh * wg, 9 * gci), xp.dtype))
-    if sidepair:
-        scratch.append(pltpu.VMEM((bd * bh * wg, 2 * side_k), xp.dtype))
+    if sideshare:
+        scratch.append(
+            pltpu.VMEM((bd + 2, bh + 2, wg, 2 * side_k), xp.dtype))
         out_specs = (out_spec(dbm_shape), out_spec((3, 3, 2 * side_k, gco)))
         out_shape = (jax.ShapeDtypeStruct(dbm_shape, jnp.float32),
                      jax.ShapeDtypeStruct((3, 3, 2 * side_k, gco),
@@ -738,7 +753,7 @@ def conv3d_dw_packed(xp: jax.Array, gyp: jax.Array, g: int,
         scratch_shapes=scratch,
         compiler_params=_VMEM_LIMIT,
     )(*operands)
-    if sidepair:
+    if sideshare:
         dbm, dbs = outs
         dbl, dbr = dbs[:, :, :side_k], dbs[:, :, side_k:]
     else:
