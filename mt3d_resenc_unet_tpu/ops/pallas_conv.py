@@ -145,6 +145,29 @@ def _pick_tile(d: int, h: int, wga: int, gc: int, itemsize: int,
     return best
 
 
+def _pick_tile_flat(d: int, h: int, wg: int, gc: int, itemsize: int,
+                    budget_bytes: int = None) -> Tuple[int, int]:
+    """(bd, bh) for the flattened layout: tile is (bd+2, (bh+4)*wg, gc)."""
+    if budget_bytes is None:
+        import os
+        budget_bytes = int(os.environ.get("MT3D_CONV_TILE_BUDGET",
+                                          (5 << 20) // 2))
+    row_bytes = wg * gc * itemsize
+
+    best, best_eff = (1, 1), float("inf")
+    for bd in [x for x in (32, 16, 12, 8, 6, 4, 2, 1) if d % x == 0]:
+        for bh in [x for x in (32, 16, 12, 8, 6, 4, 2, 1) if h % x == 0]:
+            if (bd + 2) * (bh + 4) * row_bytes > budget_bytes:
+                continue
+            # minimize halo'd bytes per output row (DMA efficiency), then
+            # prefer the larger tile (fewer GEMM issues)
+            eff = (bd + 2) * (bh + 4) / (bd * bh)
+            if eff < best_eff or (eff == best_eff
+                                  and bd * bh > best[0] * best[1]):
+                best, best_eff = (bd, bh), eff
+    return best
+
+
 def _tile_norm(x_s, pre_ref, di, hi, bd, bh, wg, neg_slope):
     """Apply ``leaky(x * scale - shift)`` to a halo'd input tile, zeroing
     the pad positions (halo rows outside the volume and the x-axis
@@ -166,6 +189,57 @@ def _tile_norm(x_s, pre_ref, di, hi, bd, bh, wg, neg_slope):
     pos = u.astype(jnp.float32) >= 0.0
     u = jnp.where(pos, u, u * jnp.asarray(neg_slope, dt))
     return jnp.where(valid, u, jnp.zeros_like(u))
+
+
+def _flat_env() -> bool:
+    """MT3D_CONV_FLAT=0 disables the flattened-(H*W/g) tile layout.
+
+    The 5-D layout DMAs halo'd tiles whose second-minor extent is
+    wga = align(wg + 2, 16) — a 41% byte tax at wg = 32 (48 transferred
+    for 34 used) because Mosaic rejects unaligned second-minor DMA tiles.
+    Flattening (H, W/g) -> H*W/g makes every tile window wg-aligned with
+    NO alignment tail: the x-halo of group c is simply the previous flat
+    element (with the wrap rows at x-volume edges masked to zero in the
+    shared side buffer), and the H halo becomes whole wg-rows. Tiles move
+    ~25-33% fewer bytes and the input pre-pad shrinks the same amount."""
+    import os
+    return os.environ.get("MT3D_CONV_FLAT", "1") == "1"
+
+
+def _side_mask(bh: int, wg: int, side_k: int, dtype):
+    """((bh+2)*wg, 2*side_k) multiplier zeroing the x-volume-edge wrap rows
+    of the shared side buffer: in flat layout the 'left halo' of group 0 of
+    each H row aliases the previous row's last group (and symmetrically for
+    the right halo of group wg-1) — real data, wrong tap."""
+    p = jnp.arange((bh + 2) * wg) % wg
+    left = (p != 0).astype(dtype)[:, None]
+    right = (p != wg - 1).astype(dtype)[:, None]
+    return jnp.concatenate([jnp.broadcast_to(left, (p.size, side_k)),
+                            jnp.broadcast_to(right, (p.size, side_k))],
+                           axis=1)
+
+
+def _tile_norm_flat(x_val, pre_ref, di, hi, bd, bh, wg, neg_slope):
+    """Flat-layout variant of ``_tile_norm``: the tile is
+    (bd+2, (bh+4)*wg, gci) with a 2-row H halo and no x pad (all wg
+    positions per row are real data; x same-padding is handled by the
+    side-buffer mask)."""
+    nd = pl.num_programs(1)
+    nh = pl.num_programs(2)
+    bd2, p4, gci = x_val.shape
+    dt = x_val.dtype
+    # 4-D view (free: splits contiguous sublane dims) for the row iotas —
+    # avoids a vector integer division by wg
+    v4 = x_val.reshape(bd2, p4 // wg, wg, gci)
+    sc = pre_ref[0, 0].astype(dt)[None, None, None, :]
+    sh = pre_ref[0, 1].astype(dt)[None, None, None, :]
+    r = lax.broadcasted_iota(jnp.int32, v4.shape, 0) + di * bd
+    hq = lax.broadcasted_iota(jnp.int32, v4.shape, 1) + hi * bh
+    valid = (r >= 1) & (r <= nd * bd) & (hq >= 2) & (hq < nh * bh + 2)
+    u = v4 * sc - sh
+    pos = u.astype(jnp.float32) >= 0.0
+    u = jnp.where(pos, u, u * jnp.asarray(neg_slope, dt))
+    return jnp.where(valid, u, jnp.zeros_like(u)).reshape(bd2, p4, gci)
 
 
 def _cat_env() -> bool:
@@ -210,7 +284,8 @@ def _pick_bn(n: int, d: int, h: int, wga: int, gc: int, itemsize: int,
 def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
                  pre: bool = False, stats: bool = False,
                  neg_slope: float = 1e-2, cat: bool = False,
-                 addin: bool = False, bn: int = 1, sideshare: bool = False):
+                 addin: bool = False, bn: int = 1, sideshare: bool = False,
+                 flat: bool = False):
     """Double-buffered: the halo tile for grid step k+1 streams in while
     step k computes. The two buffers are distinct scratch refs selected with
     static ``pl.when`` branches — a dynamic leading-index slice of one
@@ -230,6 +305,7 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
         bs_ref, bl_ref, br_ref = next(it), None, None
     else:
         bs_ref, bl_ref, br_ref = None, next(it), next(it)
+    mask_ref = next(it) if flat else None
     pre_ref = next(it) if pre else None
     add_ref = next(it) if addin else None
     y_ref = next(it)
@@ -252,6 +328,11 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     assert bn == 1 or not (pre or stats or addin or cat)
 
     def tile_dma(buf, sl, a, b, c):
+        if flat:
+            return pltpu.make_async_copy(
+                x_hbm.at[a, pl.ds(b * bd, bd + 2),
+                         pl.ds(c * bh * wg, (bh + 4) * wg)],
+                buf, sem.at[sl])
         if bn > 1:
             return pltpu.make_async_copy(
                 x_hbm.at[pl.ds(a * bn, bn), pl.ds(b * bd, bd + 2),
@@ -288,6 +369,38 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
             stats_ref[...] = jnp.zeros_like(stats_ref)
 
     def compute(x_buf):
+        if flat:
+            # flattened (H*W/g) tile: (bd+2, (bh+4)*wg, gci), 2-row H halo,
+            # no x pad. Mids slice whole wg-aligned row bands; sides come
+            # from the shared buffer whose x-edge wrap rows are masked.
+            if pre:
+                x_s = _tile_norm_flat(x_buf[...], pre_ref, di, hi, bd, bh,
+                                      wg, neg_slope)
+            else:
+                x_s = x_buf[...]
+            p2 = (bh + 2) * wg
+            scat[:, :, 0:side_k] = (
+                x_s[:, wg - 1:wg - 1 + p2, gci - side_k:gci]
+                * mask_ref[:, 0:side_k])
+            scat[:, :, side_k:] = (
+                x_s[:, wg + 1:wg + 1 + p2, 0:side_k]
+                * mask_ref[:, side_k:])
+            acc = jnp.zeros((m, gco), jnp.float32)
+            for dz in range(3):
+                for dy in range(3):
+                    mid = x_s[dz:dz + bd, (dy + 1) * wg:
+                              (dy + 1 + bh) * wg].reshape(m, gci)
+                    acc += lax.dot_general(
+                        mid, bm_ref[dz, dy], dn,
+                        preferred_element_type=jnp.float32)
+                    side = scat[dz:dz + bd,
+                                dy * wg:(dy + bh) * wg].reshape(
+                        m, 2 * side_k)
+                    acc += lax.dot_general(
+                        side, bs_ref[dz, dy], dn,
+                        preferred_element_type=jnp.float32)
+            finish(acc)
+            return
         if pre:
             x_s = _tile_norm(x_buf, pre_ref, di, hi, bd, bh, wg, neg_slope)
         else:
@@ -361,6 +474,9 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
                     acc += lax.dot_general(
                         right, br_ref[dz, dy], dn,
                         preferred_element_type=jnp.float32)
+        finish(acc)
+
+    def finish(acc):
         if addin:
             # split-weight pair: the first half's conv output is added
             # in-kernel so the (summed) tensor's statistics can be emitted
@@ -407,31 +523,45 @@ def _conv3d_banded_packed_f(xp: jax.Array, w: jax.Array, g: int,
     # g=1 deep stages: tiny spatial extents -> whole-plane tiles, batched
     # over samples so the GEMM M dim stays MXU-pipeline-sized
     plain = pre_vec is None and not emit_stats and add_to is None and not cat
+    # flat tile windows are wg-aligned in the flattened dim; Mosaic requires
+    # 16-sublane (bf16) alignment of second-minor DMA offsets
+    flat = _flat_env() and g >= 2 and not cat and wg % sub == 0
     if g == 1 and plain:
         bd, bh = _pick_tile(d, h, wga, max(gci, gco), xp.dtype.itemsize,
                             budget_bytes=6 << 20)
         bn = (_pick_bn(n, d, h, wga, gci, xp.dtype.itemsize)
               if (bd, bh) == (d, h) else 1)
+    elif flat:
+        bd, bh = _pick_tile_flat(d, h, wg, max(gci, gco),
+                                 xp.dtype.itemsize)
+        bn = 1
     else:
         bd, bh = _pick_tile(d, h, wga, max(gci, gco), xp.dtype.itemsize,
                             cat_row_bytes=(wg * 9 * gci * xp.dtype.itemsize
                                            if cat else 0))
         bn = 1
 
-    # halo-pad: 1 in D/H, one packed group in W, alignment tail
-    xpp = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (1, wga - (wg + 1)), (0, 0)))
+    if flat:
+        # halo-pad 1 in D, 2 whole rows in H, then flatten (H, W/g): every
+        # tile window is wg-aligned with no alignment tail (see _flat_env)
+        xpp = jnp.pad(xp, ((0, 0), (1, 1), (2, 2), (0, 0), (0, 0)))
+        xpp = xpp.reshape(n, d + 2, (h + 4) * wg, gci)
+    else:
+        # halo-pad: 1 in D/H, one packed group in W, alignment tail
+        xpp = jnp.pad(xp,
+                      ((0, 0), (1, 1), (1, 1), (1, wga - (wg + 1)), (0, 0)))
 
     b_mid, b_left, b_right = build_banded_weights(w.astype(xp.dtype), g)
     if cat:
         b_mid = b_mid.reshape(9 * gci, gco)
-    sideshare = _sideshare_env() and g >= 2 and bn == 1
+    sideshare = flat or (_sideshare_env() and g >= 2 and bn == 1)
     side_k = gci if g == 1 else (ci if gci <= 128 else 128)
 
     kernel = functools.partial(_conv_kernel, g=g, ci=ci, co=co, bd=bd, bh=bh,
                                pre=pre_vec is not None, stats=emit_stats,
                                neg_slope=neg_slope, cat=cat,
                                addin=add_to is not None, bn=bn,
-                               sideshare=sideshare)
+                               sideshare=sideshare, flat=flat)
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda ni, di, hi: (0,) * len(shape),
         memory_space=pltpu.VMEM)
@@ -443,6 +573,10 @@ def _conv3d_banded_packed_f(xp: jax.Array, w: jax.Array, g: int,
             const_spec(b_side.shape),
         ]
         operands = [xpp, b_mid, b_side]
+        if flat:
+            m2 = _side_mask(bh, wg, side_k, xp.dtype)
+            in_specs.append(const_spec(m2.shape))
+            operands.append(m2)
     else:
         in_specs = [
             pl.BlockSpec(memory_space=pl.ANY),   # packed input (HBM)
@@ -471,8 +605,11 @@ def _conv3d_banded_packed_f(xp: jax.Array, w: jax.Array, g: int,
                                   memory_space=pltpu.VMEM))
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((n, 2, gco), jnp.float32))
-    buf_shape = ((bn, bd + 2, bh + 2, wga, gci) if bn > 1
-                 else (bd + 2, bh + 2, wga, gci))
+    if flat:
+        buf_shape = (bd + 2, (bh + 4) * wg, gci)
+    else:
+        buf_shape = ((bn, bd + 2, bh + 2, wga, gci) if bn > 1
+                     else (bd + 2, bh + 2, wga, gci))
     scratch = [
         pltpu.VMEM(buf_shape, xp.dtype),
         pltpu.VMEM(buf_shape, xp.dtype),
@@ -482,6 +619,8 @@ def _conv3d_banded_packed_f(xp: jax.Array, w: jax.Array, g: int,
         scratch.append(pltpu.VMEM((bd * bh * wg, 9 * gci), xp.dtype))
     if sideshare:
         scratch.append(
+            pltpu.VMEM((bd + 2, (bh + 2) * wg, 2 * side_k), xp.dtype)
+            if flat else
             pltpu.VMEM((bd + 2, bh + 2, wg, 2 * side_k), xp.dtype))
     return pl.pallas_call(
         kernel,
@@ -513,7 +652,8 @@ def _conv3d_banded_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
 
 def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
                side_k: int, pre: bool = False, neg_slope: float = 1e-2,
-               cat: bool = False, bn: int = 1, sideshare: bool = False):
+               cat: bool = False, bn: int = 1, sideshare: bool = False,
+               flat: bool = False):
     """dB[dz, dy] += patches^T @ gy, accumulated in fp32 VMEM scratch across
     the sequential grid; the banded gradients are written at the last step.
     The contraction runs over the (huge) spatial dim with BOTH output dims
@@ -524,6 +664,7 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     forward did (the dW contraction needs the conv's ACTUAL input)."""
     it = iter(refs)
     x_hbm, gy_ref = next(it), next(it)
+    mask_ref = next(it) if flat else None
     pre_ref = next(it) if pre else None
     if sideshare:
         dbm_ref, dbs_ref = next(it), next(it)
@@ -552,6 +693,11 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     assert bn == 1 or not (pre or cat)
 
     def tile_dma(buf, sl, a, b, c):
+        if flat:
+            return pltpu.make_async_copy(
+                x_hbm.at[a, pl.ds(b * bd, bd + 2),
+                         pl.ds(c * bh * wg, (bh + 4) * wg)],
+                buf, sem.at[sl])
         if bn > 1:
             return pltpu.make_async_copy(
                 x_hbm.at[pl.ds(a * bn, bn), pl.ds(b * bd, bd + 2),
@@ -592,6 +738,31 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     nb = (slice(None),) if bn > 1 else ()
 
     def accumulate(x_buf):
+        if flat:
+            if pre:
+                x_s = _tile_norm_flat(x_buf[...], pre_ref, di, hi, bd, bh,
+                                      wg, neg_slope)
+            else:
+                x_s = x_buf[...]
+            p2 = (bh + 2) * wg
+            scat[:, :, 0:side_k] = (
+                x_s[:, wg - 1:wg - 1 + p2, gci - side_k:gci]
+                * mask_ref[:, 0:side_k])
+            scat[:, :, side_k:] = (
+                x_s[:, wg + 1:wg + 1 + p2, 0:side_k]
+                * mask_ref[:, side_k:])
+            for dz in range(3):
+                for dy in range(3):
+                    mid = x_s[dz:dz + bd, (dy + 1) * wg:
+                              (dy + 1 + bh) * wg].reshape(m, gci)
+                    acc_m[dz, dy] += lax.dot_general(
+                        mid, gy, dn, preferred_element_type=jnp.float32)
+                    side = scat[dz:dz + bd,
+                                dy * wg:(dy + bh) * wg].reshape(
+                        m, 2 * side_k)
+                    acc_s[dz, dy] += lax.dot_general(
+                        side, gy, dn, preferred_element_type=jnp.float32)
+            return
         if pre:
             x_s = _tile_norm(x_buf, pre_ref, di, hi, bd, bh, wg, neg_slope)
         else:
@@ -687,9 +858,14 @@ def conv3d_dw_packed(xp: jax.Array, gyp: jax.Array, g: int,
     cat = _cat_env()
     sub = 16 if xp.dtype == jnp.bfloat16 else 8
     wga = ((wg + 2 + sub - 1) // sub) * sub
-    bd, bh = _pick_tile(d, h, wga, max(gci, gco), xp.dtype.itemsize,
-                        cat_row_bytes=(wg * 9 * gci * xp.dtype.itemsize
-                                       if cat else 0))
+    flat = _flat_env() and g >= 2 and not cat and wg % sub == 0
+    if flat:
+        bd, bh = _pick_tile_flat(d, h, wg, max(gci, gco),
+                                 xp.dtype.itemsize)
+    else:
+        bd, bh = _pick_tile(d, h, wga, max(gci, gco), xp.dtype.itemsize,
+                            cat_row_bytes=(wg * 9 * gci * xp.dtype.itemsize
+                                           if cat else 0))
     # g=1 deep stages with whole-plane tiles: batch samples to keep the
     # contraction's spatial (K) dim MXU-pipeline-sized (see _pick_bn)
     if g == 1 and pre_vec is None and not cat and (bd, bh) == (d, h):
@@ -697,14 +873,20 @@ def conv3d_dw_packed(xp: jax.Array, gyp: jax.Array, g: int,
     else:
         bn = 1
     side_k = gci if g == 1 else (ci if gci <= 128 else 128)
-    sideshare = _sideshare_env() and g >= 2 and not cat and bn == 1
+    sideshare = flat or (_sideshare_env() and g >= 2 and not cat
+                         and bn == 1)
 
-    xpp = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (1, wga - (wg + 1)), (0, 0)))
+    if flat:
+        xpp = jnp.pad(xp, ((0, 0), (1, 1), (2, 2), (0, 0), (0, 0)))
+        xpp = xpp.reshape(n, d + 2, (h + 4) * wg, gci)
+    else:
+        xpp = jnp.pad(xp,
+                      ((0, 0), (1, 1), (1, 1), (1, wga - (wg + 1)), (0, 0)))
 
     kernel = functools.partial(_dw_kernel, g=g, ci=ci, co=co, bd=bd, bh=bh,
                                side_k=side_k, pre=pre_vec is not None,
                                neg_slope=neg_slope, cat=cat, bn=bn,
-                               sideshare=sideshare)
+                               sideshare=sideshare, flat=flat)
     out_spec = lambda shape: pl.BlockSpec(
         shape, lambda ni, di, hi: (0,) * len(shape),
         memory_space=pltpu.VMEM)
@@ -715,14 +897,22 @@ def conv3d_dw_packed(xp: jax.Array, gyp: jax.Array, g: int,
                      memory_space=pltpu.VMEM),
     ]
     operands = [xpp, gyp]
+    if flat:
+        m2 = _side_mask(bh, wg, side_k, xp.dtype)
+        in_specs.append(pl.BlockSpec(
+            m2.shape, lambda ni, di, hi: (0, 0), memory_space=pltpu.VMEM))
+        operands.append(m2)
     if pre_vec is not None:
         in_specs.append(pl.BlockSpec((1, 2, gci),
                                      lambda ni, di, hi: (ni, 0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(pre_vec)
     dbm_shape = (9 * gci, gco) if cat else (3, 3, gci, gco)
-    buf_shape = ((bn, bd + 2, bh + 2, wga, gci) if bn > 1
-                 else (bd + 2, bh + 2, wga, gci))
+    if flat:
+        buf_shape = (bd + 2, (bh + 4) * wg, gci)
+    else:
+        buf_shape = ((bn, bd + 2, bh + 2, wga, gci) if bn > 1
+                     else (bd + 2, bh + 2, wga, gci))
     scratch = [
         pltpu.VMEM(buf_shape, xp.dtype),
         pltpu.VMEM(buf_shape, xp.dtype),
@@ -732,6 +922,8 @@ def conv3d_dw_packed(xp: jax.Array, gyp: jax.Array, g: int,
         scratch.append(pltpu.VMEM((bd * bh * wg, 9 * gci), xp.dtype))
     if sideshare:
         scratch.append(
+            pltpu.VMEM((bd + 2, (bh + 2) * wg, 2 * side_k), xp.dtype)
+            if flat else
             pltpu.VMEM((bd + 2, bh + 2, wg, 2 * side_k), xp.dtype))
         out_specs = (out_spec(dbm_shape), out_spec((3, 3, 2 * side_k, gco)))
         out_shape = (jax.ShapeDtypeStruct(dbm_shape, jnp.float32),

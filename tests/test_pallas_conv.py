@@ -431,3 +431,69 @@ def _ref_conv_np(x, w):
         jnp.asarray(x), jnp.asarray(w), (1, 1, 1), ((1, 1),) * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=jnp.float32))
+
+
+def test_flat_layout_fused_paths(rng):
+    """Flat (H*W/g-flattened) tile layout: active when wg %% sublane == 0
+    (here W=32, g=4 -> wg=8, fp32). Covers plain/stats/pre/dual + grads
+    against the reference conv (the W=16 tests above cover the 5-D
+    fallback)."""
+    from mt3d_resenc_unet_tpu.ops.pallas_conv import (
+        _flat_env, conv3d_packed_dual_stats, conv3d_packed_stats,
+        conv3d_packed_ns)
+    assert _flat_env()
+
+    g = 4
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 32, 32)).astype(np.float32))
+    xp = x.reshape(1, 4, 4, 8, 128)
+    w = jnp.asarray(
+        rng.standard_normal((3, 3, 3, 32, 32)).astype(np.float32) * 0.1)
+
+    want = _ref_conv(x, w).reshape(xp.shape)
+    yp, st = conv3d_packed_stats(xp, w, g)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    yf = np.asarray(want, np.float32)
+    np.testing.assert_allclose(np.asarray(st[:, 0]), yf.sum((1, 2, 3)),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(st[:, 1]), (yf * yf).sum((1, 2, 3)),
+                               rtol=1e-3, atol=1e-3)
+
+    # pre-op (scale/shift + LeakyReLU applied in-kernel) + gradients
+    scale = jnp.asarray(rng.random((1, 128)).astype(np.float32) + 0.5)
+    shift = jnp.asarray(rng.standard_normal((1, 128)).astype(np.float32) * .1)
+    gy = jnp.asarray(rng.standard_normal(xp.shape).astype(np.float32))
+    gs = jnp.asarray(rng.standard_normal((1, 2, 128)).astype(np.float32) * .1)
+
+    def loss_fused(xp, w, scale, shift):
+        y, st = conv3d_packed_ns(xp, w, scale, shift, g, 1e-2)
+        return jnp.sum(y * gy) + jnp.sum(st * gs)
+
+    def loss_ref(xp, w, scale, shift):
+        xn = xp * scale[:, None, None, None, :] \
+            - shift[:, None, None, None, :]
+        xn = jnp.where(xn >= 0, xn, xn * 1e-2)
+        y = _ref_conv(xn.reshape(x.shape), w).reshape(xp.shape)
+        st = jnp.stack([jnp.sum(y, (1, 2, 3)),
+                        jnp.sum(y * y, (1, 2, 3))], axis=1)
+        return jnp.sum(y * gy) + jnp.sum(st * gs)
+
+    np.testing.assert_allclose(loss_fused(xp, w, scale, shift),
+                               loss_ref(xp, w, scale, shift), rtol=1e-3)
+    got = jax.grad(loss_fused, (0, 1, 2, 3))(xp, w, scale, shift)
+    want_g = jax.grad(loss_ref, (0, 1, 2, 3))(xp, w, scale, shift)
+    for a, b, name in zip(got, want_g, ("dx", "dw", "dscale", "dshift")):
+        sc = float(jnp.max(jnp.abs(b))) + 1e-8
+        np.testing.assert_allclose(np.asarray(a) / sc, np.asarray(b) / sc,
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
+
+    # dual (split-weight concat) on the flat layout
+    x2 = jnp.asarray(
+        rng.standard_normal((1, 4, 4, 8, 128)).astype(np.float32))
+    w2 = jnp.asarray(
+        rng.standard_normal((3, 3, 3, 64, 32)).astype(np.float32) * 0.1)
+    y, st = conv3d_packed_dual_stats(xp, x2, w2, g)
+    want2 = (conv3d_packed(xp, w2[..., :32, :], g)
+             + conv3d_packed(x2, w2[..., 32:, :], g))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want2),
+                               rtol=1e-4, atol=1e-4)
