@@ -378,7 +378,7 @@ def main():
     # batch 8 deterministically exceeds the 16G HBM at 128^3; 6 is probed
     # each run via the compile-time memory analysis (cheap rejection) so
     # future memory wins convert to throughput automatically (VERDICT r2)
-    candidates = [args.batch] if args.batch else [6, 4, 2, 1]
+    candidates = [args.batch] if args.batch else [6, 5, 4, 2, 1]
     value = None
     used_batch = None
     n_used = 1

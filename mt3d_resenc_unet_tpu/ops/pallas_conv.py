@@ -242,6 +242,73 @@ def _tile_norm_flat(x_val, pre_ref, di, hi, bd, bh, wg, neg_slope):
     return jnp.where(valid, u, jnp.zeros_like(u)).reshape(bd2, p4, gci)
 
 
+def _halo_dma(x_hbm, buf, sem, sl, a, b, c, bd, bh, wg, ndp, nhp, op):
+    """Issue (op='start') or retire (op='wait') the halo'd tile copy from
+    the UNPADDED flat input (n, d, h*wg, gci): the window [b*bd-1, b*bd+bd+1)
+    x [(c*bh-2)*wg, (c*bh+bh+2)*wg) is clamped at the volume edges, copied
+    into an offset region of the buffer, and the uncovered halo rows are
+    zeroed separately (``_halo_zero``) — no jnp.pad pass over HBM at all.
+    Exactly one (D-case, H-case) branch fires per call; start/wait construct
+    the identical copy under the same conditions."""
+    if ndp == 1:
+        d_cases = [(None, 0, bd, 1)]
+    else:
+        d_cases = [
+            (b == 0, 0, bd + 1, 1),
+            (b == ndp - 1, b * bd - 1, bd + 1, 0),
+            ((b > 0) & (b < ndp - 1), b * bd - 1, bd + 2, 0),
+        ]
+    if nhp == 1:
+        h_cases = [(None, 0, bh * wg, 2 * wg)]
+    else:
+        h_cases = [
+            (c == 0, 0, (bh + 2) * wg, 2 * wg),
+            (c == nhp - 1, (c * bh - 2) * wg, (bh + 2) * wg, 0),
+            ((c > 0) & (c < nhp - 1), (c * bh - 2) * wg, (bh + 4) * wg, 0),
+        ]
+    for dc, ds_, dsz, dd in d_cases:
+        for hc, hs, hsz, hd in h_cases:
+            cond = dc if hc is None else (hc if dc is None else dc & hc)
+
+            def body(ds_=ds_, dsz=dsz, dd=dd, hs=hs, hsz=hsz, hd=hd):
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[a, pl.ds(ds_, dsz), pl.ds(hs, hsz)],
+                    buf.at[pl.ds(dd, dsz), pl.ds(hd, hsz)],
+                    sem.at[sl])
+                cp.start() if op == "start" else cp.wait()
+
+            if cond is None:
+                body()
+            else:
+                pl.when(cond)(body)
+
+
+def _halo_zero(buf, b, c, bd, bh, wg, ndp, nhp):
+    """Zero the buffer rows the clamped copy left uncovered (the volume-edge
+    halo). D-edge rows span the full flat extent, so corners are covered."""
+    p4 = (bh + 4) * wg
+
+    def zrows(lo, hi):
+        buf[lo:hi] = jnp.zeros((hi - lo,) + buf.shape[1:], buf.dtype)
+
+    def zflat(lo, hi):
+        buf[:, lo:hi] = jnp.zeros(
+            (buf.shape[0], hi - lo, buf.shape[2]), buf.dtype)
+
+    if ndp == 1:
+        zrows(0, 1)
+        zrows(bd + 1, bd + 2)
+    else:
+        pl.when(b == 0)(lambda: zrows(0, 1))
+        pl.when(b == ndp - 1)(lambda: zrows(bd + 1, bd + 2))
+    if nhp == 1:
+        zflat(0, 2 * wg)
+        zflat((bh + 2) * wg, p4)
+    else:
+        pl.when(c == 0)(lambda: zflat(0, 2 * wg))
+        pl.when(c == nhp - 1)(lambda: zflat((bh + 2) * wg, p4))
+
+
 def _cat_env() -> bool:
     """MT3D_CONV_CAT=1: run the 9 mid contractions of each tile as ONE
     long-K GEMM against the stacked band matrix (K = 9*g*ci) instead of 9
@@ -327,27 +394,27 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     side_k = gci if g == 1 else (ci if gci <= 128 else 128)
     assert bn == 1 or not (pre or stats or addin or cat)
 
-    def tile_dma(buf, sl, a, b, c):
+    def dma(buf, sl, a, b, c, op):
         if flat:
-            return pltpu.make_async_copy(
-                x_hbm.at[a, pl.ds(b * bd, bd + 2),
-                         pl.ds(c * bh * wg, (bh + 4) * wg)],
-                buf, sem.at[sl])
+            _halo_dma(x_hbm, buf, sem, sl, a, b, c, bd, bh, wg, nd, nh, op)
+            return
         if bn > 1:
-            return pltpu.make_async_copy(
+            cp = pltpu.make_async_copy(
                 x_hbm.at[pl.ds(a * bn, bn), pl.ds(b * bd, bd + 2),
                          pl.ds(c * bh, bh + 2)],
                 buf, sem.at[sl])
-        return pltpu.make_async_copy(
-            x_hbm.at[a, pl.ds(b * bd, bd + 2), pl.ds(c * bh, bh + 2)],
-            buf, sem.at[sl])
+        else:
+            cp = pltpu.make_async_copy(
+                x_hbm.at[a, pl.ds(b * bd, bd + 2), pl.ds(c * bh, bh + 2)],
+                buf, sem.at[sl])
+        cp.start() if op == "start" else cp.wait()
 
     k = (ni * nd + di) * nh + hi
     total = pl.num_programs(0) * nd * nh
 
     @pl.when(k == 0)
     def _():
-        tile_dma(x_s0, 0, ni, di, hi).start()
+        dma(x_s0, 0, ni, di, hi, "start")
 
     nk = k + 1
     n_ni = nk // (nd * nh)
@@ -357,11 +424,11 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
 
     @pl.when((nk < total) & (nk % 2 == 0))
     def _():
-        tile_dma(x_s0, 0, n_ni, n_di, n_hi).start()
+        dma(x_s0, 0, n_ni, n_di, n_hi, "start")
 
     @pl.when((nk < total) & (nk % 2 == 1))
     def _():
-        tile_dma(x_s1, 1, n_ni, n_di, n_hi).start()
+        dma(x_s1, 1, n_ni, n_di, n_hi, "start")
 
     if stats:
         @pl.when((di == 0) & (hi == 0))
@@ -492,12 +559,16 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
 
     @pl.when(k % 2 == 0)
     def _():
-        tile_dma(x_s0, 0, ni, di, hi).wait()
+        dma(x_s0, 0, ni, di, hi, "wait")
+        if flat:
+            _halo_zero(x_s0, di, hi, bd, bh, wg, nd, nh)
         compute(x_s0)
 
     @pl.when(k % 2 == 1)
     def _():
-        tile_dma(x_s1, 1, ni, di, hi).wait()
+        dma(x_s1, 1, ni, di, hi, "wait")
+        if flat:
+            _halo_zero(x_s1, di, hi, bd, bh, wg, nd, nh)
         compute(x_s1)
 
 
@@ -542,10 +613,9 @@ def _conv3d_banded_packed_f(xp: jax.Array, w: jax.Array, g: int,
         bn = 1
 
     if flat:
-        # halo-pad 1 in D, 2 whole rows in H, then flatten (H, W/g): every
-        # tile window is wg-aligned with no alignment tail (see _flat_env)
-        xpp = jnp.pad(xp, ((0, 0), (1, 1), (2, 2), (0, 0), (0, 0)))
-        xpp = xpp.reshape(n, d + 2, (h + 4) * wg, gci)
+        # flatten (H, W/g) — a free reshape; NO pad pass: the kernel's
+        # clamped halo DMA + edge zero-fill provides same-padding in-VMEM
+        xpp = xp.reshape(n, d, h * wg, gci)
     else:
         # halo-pad: 1 in D/H, one packed group in W, alignment tail
         xpp = jnp.pad(xp,
@@ -692,27 +762,27 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     dn = (((0,), (0,)), ((), ()))  # contract over rows (spatial)
     assert bn == 1 or not (pre or cat)
 
-    def tile_dma(buf, sl, a, b, c):
+    def dma(buf, sl, a, b, c, op):
         if flat:
-            return pltpu.make_async_copy(
-                x_hbm.at[a, pl.ds(b * bd, bd + 2),
-                         pl.ds(c * bh * wg, (bh + 4) * wg)],
-                buf, sem.at[sl])
+            _halo_dma(x_hbm, buf, sem, sl, a, b, c, bd, bh, wg, nd, nh, op)
+            return
         if bn > 1:
-            return pltpu.make_async_copy(
+            cp = pltpu.make_async_copy(
                 x_hbm.at[pl.ds(a * bn, bn), pl.ds(b * bd, bd + 2),
                          pl.ds(c * bh, bh + 2)],
                 buf, sem.at[sl])
-        return pltpu.make_async_copy(
-            x_hbm.at[a, pl.ds(b * bd, bd + 2), pl.ds(c * bh, bh + 2)],
-            buf, sem.at[sl])
+        else:
+            cp = pltpu.make_async_copy(
+                x_hbm.at[a, pl.ds(b * bd, bd + 2), pl.ds(c * bh, bh + 2)],
+                buf, sem.at[sl])
+        cp.start() if op == "start" else cp.wait()
 
     k = (ni * nd + di) * nh + hi
     total = pl.num_programs(0) * nd * nh
 
     @pl.when(k == 0)
     def _():
-        tile_dma(x_s0, 0, ni, di, hi).start()
+        dma(x_s0, 0, ni, di, hi, "start")
         acc_m[...] = jnp.zeros_like(acc_m)
         if sideshare:
             acc_s[...] = jnp.zeros_like(acc_s)
@@ -728,11 +798,11 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
 
     @pl.when((nk < total) & (nk % 2 == 0))
     def _():
-        tile_dma(x_s0, 0, n_ni, n_di, n_hi).start()
+        dma(x_s0, 0, n_ni, n_di, n_hi, "start")
 
     @pl.when((nk < total) & (nk % 2 == 1))
     def _():
-        tile_dma(x_s1, 1, n_ni, n_di, n_hi).start()
+        dma(x_s1, 1, n_ni, n_di, n_hi, "start")
 
     gy = gy_ref[...].reshape(m, gco) if bn > 1 else gy_ref[0].reshape(m, gco)
     nb = (slice(None),) if bn > 1 else ()
@@ -817,12 +887,16 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
 
     @pl.when(k % 2 == 0)
     def _():
-        tile_dma(x_s0, 0, ni, di, hi).wait()
+        dma(x_s0, 0, ni, di, hi, "wait")
+        if flat:
+            _halo_zero(x_s0, di, hi, bd, bh, wg, nd, nh)
         accumulate(x_s0)
 
     @pl.when(k % 2 == 1)
     def _():
-        tile_dma(x_s1, 1, ni, di, hi).wait()
+        dma(x_s1, 1, ni, di, hi, "wait")
+        if flat:
+            _halo_zero(x_s1, di, hi, bd, bh, wg, nd, nh)
         accumulate(x_s1)
 
 
@@ -877,8 +951,7 @@ def conv3d_dw_packed(xp: jax.Array, gyp: jax.Array, g: int,
                          and bn == 1)
 
     if flat:
-        xpp = jnp.pad(xp, ((0, 0), (1, 1), (2, 2), (0, 0), (0, 0)))
-        xpp = xpp.reshape(n, d + 2, (h + 4) * wg, gci)
+        xpp = xp.reshape(n, d, h * wg, gci)
     else:
         xpp = jnp.pad(xp,
                       ((0, 0), (1, 1), (1, 1), (1, wga - (wg + 1)), (0, 0)))
