@@ -219,13 +219,36 @@ def _side_mask(bh: int, wg: int, side_k: int, dtype):
                            axis=1)
 
 
+def _flat_valid(shape4, di, hi, bd, bh):
+    """Validity mask for a flat halo'd tile viewed 4-D as
+    (bd+2, bh+4, wg, gci): True on rows inside the volume."""
+    nd = pl.num_programs(1)
+    nh = pl.num_programs(2)
+    r = lax.broadcasted_iota(jnp.int32, shape4, 0) + di * bd
+    hq = lax.broadcasted_iota(jnp.int32, shape4, 1) + hi * bh
+    return (r >= 1) & (r <= nd * bd) & (hq >= 2) & (hq < nh * bh + 2)
+
+
+def _tile_corr_flat(gy_val, yp_val, gs_ref, di, hi, bd, bh, wg):
+    """Fold the stats cotangents into the output cotangent tile-wise:
+    ``gyb = gy + gs[0] + 2*yp*gs[1]`` (fp32), zeroing the halo rows (the
+    +gs[0] term would otherwise contaminate the same-padding zeros)."""
+    bd2, p4, gci = gy_val.shape
+    g0 = gs_ref[0, 0][None, None, None, :]
+    g1 = gs_ref[0, 1][None, None, None, :]
+    v4g = gy_val.reshape(bd2, p4 // wg, wg, gci).astype(jnp.float32)
+    v4y = yp_val.reshape(bd2, p4 // wg, wg, gci).astype(jnp.float32)
+    u = v4g + g0 + 2.0 * v4y * g1
+    valid = _flat_valid(v4g.shape, di, hi, bd, bh)
+    u = jnp.where(valid, u, jnp.zeros_like(u))
+    return u.astype(gy_val.dtype).reshape(bd2, p4, gci)
+
+
 def _tile_norm_flat(x_val, pre_ref, di, hi, bd, bh, wg, neg_slope):
     """Flat-layout variant of ``_tile_norm``: the tile is
     (bd+2, (bh+4)*wg, gci) with a 2-row H halo and no x pad (all wg
     positions per row are real data; x same-padding is handled by the
     side-buffer mask)."""
-    nd = pl.num_programs(1)
-    nh = pl.num_programs(2)
     bd2, p4, gci = x_val.shape
     dt = x_val.dtype
     # 4-D view (free: splits contiguous sublane dims) for the row iotas —
@@ -233,9 +256,7 @@ def _tile_norm_flat(x_val, pre_ref, di, hi, bd, bh, wg, neg_slope):
     v4 = x_val.reshape(bd2, p4 // wg, wg, gci)
     sc = pre_ref[0, 0].astype(dt)[None, None, None, :]
     sh = pre_ref[0, 1].astype(dt)[None, None, None, :]
-    r = lax.broadcasted_iota(jnp.int32, v4.shape, 0) + di * bd
-    hq = lax.broadcasted_iota(jnp.int32, v4.shape, 1) + hi * bh
-    valid = (r >= 1) & (r <= nd * bd) & (hq >= 2) & (hq < nh * bh + 2)
+    valid = _flat_valid(v4.shape, di, hi, bd, bh)
     u = v4 * sc - sh
     pos = u.astype(jnp.float32) >= 0.0
     u = jnp.where(pos, u, u * jnp.asarray(neg_slope, dt))
@@ -352,7 +373,8 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
                  pre: bool = False, stats: bool = False,
                  neg_slope: float = 1e-2, cat: bool = False,
                  addin: bool = False, bn: int = 1, sideshare: bool = False,
-                 flat: bool = False):
+                 flat: bool = False, corr: bool = False,
+                 post: bool = False):
     """Double-buffered: the halo tile for grid step k+1 streams in while
     step k computes. The two buffers are distinct scratch refs selected with
     static ``pl.when`` branches — a dynamic leading-index slice of one
@@ -367,19 +389,28 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
       norm statistics of this conv's output come out for free.
     """
     it = iter(refs)
-    x_hbm, bm_ref = next(it), next(it)
+    x_hbm = next(it)
+    yp_hbm = next(it) if corr else None
+    bm_ref = next(it)
     if sideshare:
         bs_ref, bl_ref, br_ref = next(it), None, None
     else:
         bs_ref, bl_ref, br_ref = None, next(it), next(it)
     mask_ref = next(it) if flat else None
-    pre_ref = next(it) if pre else None
+    gs_ref = next(it) if corr else None
+    pre_ref = next(it) if (pre or post) else None
+    xq_ref = next(it) if post else None
     add_ref = next(it) if addin else None
     y_ref = next(it)
     stats_ref = next(it) if stats else None
     x_s0, x_s1, sem = next(it), next(it), next(it)
+    if corr:
+        yp_s0, yp_s1, sem2 = next(it), next(it), next(it)
+    else:
+        yp_s0 = yp_s1 = sem2 = None
     xcat = next(it) if cat else None
     scat = next(it) if sideshare else None
+    assert not (pre and post) and (not corr or flat)
 
     ni = pl.program_id(0)
     di = pl.program_id(1)
@@ -394,9 +425,13 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     side_k = gci if g == 1 else (ci if gci <= 128 else 128)
     assert bn == 1 or not (pre or stats or addin or cat)
 
-    def dma(buf, sl, a, b, c, op):
+    def dma(sl, a, b, c, op):
+        buf = (x_s0, x_s1)[sl]
         if flat:
             _halo_dma(x_hbm, buf, sem, sl, a, b, c, bd, bh, wg, nd, nh, op)
+            if corr:
+                _halo_dma(yp_hbm, (yp_s0, yp_s1)[sl], sem2, sl, a, b, c,
+                          bd, bh, wg, nd, nh, op)
             return
         if bn > 1:
             cp = pltpu.make_async_copy(
@@ -414,7 +449,7 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
 
     @pl.when(k == 0)
     def _():
-        dma(x_s0, 0, ni, di, hi, "start")
+        dma(0, ni, di, hi, "start")
 
     nk = k + 1
     n_ni = nk // (nd * nh)
@@ -424,23 +459,26 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
 
     @pl.when((nk < total) & (nk % 2 == 0))
     def _():
-        dma(x_s0, 0, n_ni, n_di, n_hi, "start")
+        dma(0, n_ni, n_di, n_hi, "start")
 
     @pl.when((nk < total) & (nk % 2 == 1))
     def _():
-        dma(x_s1, 1, n_ni, n_di, n_hi, "start")
+        dma(1, n_ni, n_di, n_hi, "start")
 
     if stats:
         @pl.when((di == 0) & (hi == 0))
         def _():
             stats_ref[...] = jnp.zeros_like(stats_ref)
 
-    def compute(x_buf):
+    def compute(x_buf, yp_buf=None):
         if flat:
             # flattened (H*W/g) tile: (bd+2, (bh+4)*wg, gci), 2-row H halo,
             # no x pad. Mids slice whole wg-aligned row bands; sides come
             # from the shared buffer whose x-edge wrap rows are masked.
-            if pre:
+            if corr:
+                x_s = _tile_corr_flat(x_buf[...], yp_buf[...], gs_ref,
+                                      di, hi, bd, bh, wg)
+            elif pre:
                 x_s = _tile_norm_flat(x_buf[...], pre_ref, di, hi, bd, bh,
                                       wg, neg_slope)
             else:
@@ -544,6 +582,20 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
         finish(acc)
 
     def finish(acc):
+        if post:
+            # pre-op backward fused as the dx kernel's epilogue: the
+            # cotangent wrt the RAW input is du*scale with du = gxn *
+            # leaky'(u), and the scale/shift cotangents reduce into the
+            # revolving stats output ([sum du*x; sum du])
+            xf = xq_ref[0].reshape(m, gci).astype(jnp.float32)
+            sc = pre_ref[0, 0][None, :]
+            sh = pre_ref[0, 1][None, :]
+            u = xf * sc - sh
+            du = acc * jnp.where(u >= 0.0, 1.0, neg_slope)
+            stats_ref[0, 0, :] += jnp.sum(du * xf, axis=0)
+            stats_ref[0, 1, :] += jnp.sum(du, axis=0)
+            y_ref[0] = (du * sc).reshape(bd, bh, wg, gco).astype(y_ref.dtype)
+            return
         if addin:
             # split-weight pair: the first half's conv output is added
             # in-kernel so the (summed) tensor's statistics can be emitted
@@ -559,17 +611,17 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
 
     @pl.when(k % 2 == 0)
     def _():
-        dma(x_s0, 0, ni, di, hi, "wait")
-        if flat:
+        dma(0, ni, di, hi, "wait")
+        if flat and not corr:
             _halo_zero(x_s0, di, hi, bd, bh, wg, nd, nh)
-        compute(x_s0)
+        compute(x_s0, yp_s0 if corr else None)
 
     @pl.when(k % 2 == 1)
     def _():
-        dma(x_s1, 1, ni, di, hi, "wait")
-        if flat:
+        dma(1, ni, di, hi, "wait")
+        if flat and not corr:
             _halo_zero(x_s1, di, hi, bd, bh, wg, nd, nh)
-        compute(x_s1)
+        compute(x_s1, yp_s1 if corr else None)
 
 
 def _conv3d_banded_packed_f(xp: jax.Array, w: jax.Array, g: int,
@@ -707,6 +759,79 @@ def _conv3d_banded_packed(xp: jax.Array, w: jax.Array, g: int) -> jax.Array:
     return _conv3d_banded_packed_f(xp, w, g)
 
 
+def _flat_eligible(wg: int, g: int, dtype) -> bool:
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    return _flat_env() and g >= 2 and wg % sub == 0
+
+
+def _conv3d_dx_fused_f(gy, yp, gs, w_flip, g, xq=None, pre_vec=None,
+                       neg_slope: float = 1e-2):
+    """Fused dx for the stats-emitting convs (flat layout only): builds the
+    corrected cotangent ``gyb = gy + gs[0] + 2*yp*gs[1]`` tile-wise in VMEM
+    (never materialized in HBM), runs the banded transpose conv, and — when
+    ``xq``/``pre_vec`` are given — applies the pre-op backward as the
+    epilogue, returning ``(dxp, [sum du*x; sum du])`` so dscale/dshift need
+    no standalone XLA pass either."""
+    n, d, h, wg, gci = gy.shape
+    ci = gci // g
+    co = w_flip.shape[-1]
+    gco = g * co
+    post = xq is not None
+    bd, bh = _pick_tile_flat(d, h, wg, max(gci, gco), gy.dtype.itemsize)
+    gyf = gy.reshape(n, d, h * wg, gci)
+    ypf = yp.reshape(n, d, h * wg, gci)
+    b_mid, b_left, b_right = build_banded_weights(w_flip.astype(gy.dtype), g)
+    side_k = ci
+    b_side = jnp.concatenate([b_left, b_right], axis=2)
+    m2 = _side_mask(bh, wg, side_k, gy.dtype)
+    kernel = functools.partial(
+        _conv_kernel, g=g, ci=ci, co=co, bd=bd, bh=bh, pre=False,
+        stats=post, neg_slope=neg_slope, cat=False, addin=False, bn=1,
+        sideshare=True, flat=True, corr=True, post=post)
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda ni, di, hi: (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, 2, gci), lambda ni, di, hi: (ni, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                const_spec(b_mid.shape), const_spec(b_side.shape),
+                const_spec(m2.shape), vec_spec]
+    operands = [gyf, ypf, b_mid, b_side, m2, gs]
+    if post:
+        in_specs.append(vec_spec)
+        operands.append(pre_vec)
+        in_specs.append(pl.BlockSpec((1, bd, bh, wg, gci),
+                                     lambda ni, di, hi: (ni, di, hi, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(xq)
+    out_specs = pl.BlockSpec((1, bd, bh, wg, gco),
+                             lambda ni, di, hi: (ni, di, hi, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n, d, h, wg, gco), gy.dtype)
+    if post:
+        out_specs = (out_specs, vec_spec)
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((n, 2, gci), jnp.float32))
+    buf = (bd + 2, (bh + 4) * wg, gci)
+    scratch = [
+        pltpu.VMEM(buf, gy.dtype), pltpu.VMEM(buf, gy.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM(buf, gy.dtype), pltpu.VMEM(buf, gy.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((bd + 2, (bh + 2) * wg, 2 * side_k), gy.dtype),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(n, d // bd, h // bh),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=_VMEM_LIMIT,
+    )(*operands)
+
+
 def _conv3d_banded_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
     n, d, h, w_dim, ci = x.shape
     co = w.shape[-1]
@@ -723,7 +848,7 @@ def _conv3d_banded_fwd(x: jax.Array, w: jax.Array) -> jax.Array:
 def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
                side_k: int, pre: bool = False, neg_slope: float = 1e-2,
                cat: bool = False, bn: int = 1, sideshare: bool = False,
-               flat: bool = False):
+               flat: bool = False, corr: bool = False):
     """dB[dz, dy] += patches^T @ gy, accumulated in fp32 VMEM scratch across
     the sequential grid; the banded gradients are written at the last step.
     The contraction runs over the (huge) spatial dim with BOTH output dims
@@ -734,6 +859,8 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     forward did (the dW contraction needs the conv's ACTUAL input)."""
     it = iter(refs)
     x_hbm, gy_ref = next(it), next(it)
+    if corr:
+        ypq_ref, gs_ref = next(it), next(it)
     mask_ref = next(it) if flat else None
     pre_ref = next(it) if pre else None
     if sideshare:
@@ -805,6 +932,12 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
         dma(x_s1, 1, n_ni, n_di, n_hi, "start")
 
     gy = gy_ref[...].reshape(m, gco) if bn > 1 else gy_ref[0].reshape(m, gco)
+    if corr:
+        # fold the stats cotangents into gy tile-wise (the blocks carry no
+        # halo, so no masking is needed here)
+        ypv = ypq_ref[0].reshape(m, gco).astype(jnp.float32)
+        gy = (gy.astype(jnp.float32) + gs_ref[0, 0][None, :]
+              + 2.0 * ypv * gs_ref[0, 1][None, :]).astype(gy_ref.dtype)
     nb = (slice(None),) if bn > 1 else ()
 
     def accumulate(x_buf):
@@ -922,9 +1055,12 @@ def _dw_from_banded(dbm, dbl, dbr, g, ci, co, side_k, dtype):
 
 def conv3d_dw_packed(xp: jax.Array, gyp: jax.Array, g: int,
                      w_shape, pre_vec=None,
-                     neg_slope: float = 1e-2) -> jax.Array:
+                     neg_slope: float = 1e-2, corr=None) -> jax.Array:
     """Weight gradient for the banded conv, both operands packed.
-    ``pre_vec``: apply the fused forward's normalize+act to x in-kernel."""
+    ``pre_vec``: apply the fused forward's normalize+act to x in-kernel.
+    ``corr``: optional (yp, gs) pair — fold the stats cotangents into gyp
+    tile-wise (``gyp + gs[0] + 2*yp*gs[1]``) instead of materializing the
+    corrected cotangent in HBM."""
     n, d, h, wg, gci = xp.shape
     ci = gci // g
     co = w_shape[-1]
@@ -959,7 +1095,8 @@ def conv3d_dw_packed(xp: jax.Array, gyp: jax.Array, g: int,
     kernel = functools.partial(_dw_kernel, g=g, ci=ci, co=co, bd=bd, bh=bh,
                                side_k=side_k, pre=pre_vec is not None,
                                neg_slope=neg_slope, cat=cat, bn=bn,
-                               sideshare=sideshare, flat=flat)
+                               sideshare=sideshare, flat=flat,
+                               corr=corr is not None)
     out_spec = lambda shape: pl.BlockSpec(
         shape, lambda ni, di, hi: (0,) * len(shape),
         memory_space=pltpu.VMEM)
@@ -970,6 +1107,17 @@ def conv3d_dw_packed(xp: jax.Array, gyp: jax.Array, g: int,
                      memory_space=pltpu.VMEM),
     ]
     operands = [xpp, gyp]
+    if corr is not None:
+        ypq, gsq = corr
+        assert bn == 1
+        in_specs.append(pl.BlockSpec((1, bd, bh, wg, gco),
+                                     lambda ni, di, hi: (ni, di, hi, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(ypq)
+        in_specs.append(pl.BlockSpec((1, 2, gco),
+                                     lambda ni, di, hi: (ni, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(gsq)
     if flat:
         m2 = _side_mask(bh, wg, side_k, xp.dtype)
         in_specs.append(pl.BlockSpec(
@@ -1093,8 +1241,16 @@ def _stats_fwd(xp, w, g):
 def _stats_bwd(g, res, cts):
     xp, w, yp = res
     gy, gs = cts
-    gyb = _stats_grad_correction(gy, gs, yp).astype(xp.dtype)
     w_flip = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    if _flat_eligible(xp.shape[3], g, xp.dtype):
+        # corrected cotangent built tile-wise inside both kernels — no
+        # HBM materialization, no standalone correction pass
+        gyb16 = gy.astype(xp.dtype)
+        dxp = _conv3d_dx_fused_f(gyb16, yp, gs, w_flip, g)
+        dw = conv3d_dw_packed(xp, gyb16, g, w.shape,
+                              corr=(yp, gs)).astype(w.dtype)
+        return dxp, dw
+    gyb = _stats_grad_correction(gy, gs, yp).astype(xp.dtype)
     dxp = _conv3d_banded_packed(gyb, w_flip, g)
     dw = conv3d_dw_packed(xp, gyb, g, w.shape).astype(w.dtype)
     return dxp, dw
@@ -1124,9 +1280,22 @@ def _ns_bwd(g, neg_slope, res, cts):
     xp, w, scale, shift, yp = res
     gy, gs = cts
     f = jnp.float32
+    w_flip = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    if _flat_eligible(xp.shape[3], g, xp.dtype):
+        # ONE kernel: correction pre-op + transpose conv + pre-op backward
+        # epilogue (dxp plus the dscale/dshift reductions as stats outputs)
+        gyb16 = gy.astype(xp.dtype)
+        pre = jnp.stack([scale, shift], axis=1)
+        dxp, dst = _conv3d_dx_fused_f(gyb16, yp, gs, w_flip, g, xq=xp,
+                                      pre_vec=pre, neg_slope=neg_slope)
+        dscale = dst[:, 0]
+        dshift = -dst[:, 1]
+        dw = conv3d_dw_packed(xp, gyb16, g, w.shape, pre_vec=pre,
+                              neg_slope=neg_slope,
+                              corr=(yp, gs)).astype(w.dtype)
+        return dxp, dw, dscale, dshift
     gyb = _stats_grad_correction(gy, gs, yp).astype(xp.dtype)
     # dx through the conv, wrt the NORMALIZED input
-    w_flip = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
     gxn = _conv3d_banded_packed(gyb, w_flip, g)
     # through the pre-op: u = x*a - b, xn = leaky(u)
     scb = scale[:, None, None, None, :]
@@ -1170,10 +1339,18 @@ def _dual_bwd(g, res, cts):
     x1, x2, w, y = res
     gy, gs = cts
     ci = x1.shape[-1] // g
-    gyb = _stats_grad_correction(gy, gs, y).astype(x1.dtype)
     w1, w2 = w[..., :ci, :], w[..., ci:, :]
     f1 = jnp.flip(w1, (0, 1, 2)).transpose(0, 1, 2, 4, 3)
     f2 = jnp.flip(w2, (0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    if _flat_eligible(x1.shape[3], g, x1.dtype):
+        gyb16 = gy.astype(x1.dtype)
+        dx1 = _conv3d_dx_fused_f(gyb16, y, gs, f1, g)
+        dx2 = _conv3d_dx_fused_f(gyb16, y, gs, f2, g)
+        dw1 = conv3d_dw_packed(x1, gyb16, g, w1.shape, corr=(y, gs))
+        dw2 = conv3d_dw_packed(x2, gyb16, g, w2.shape, corr=(y, gs))
+        dw = jnp.concatenate([dw1, dw2], axis=-2).astype(w.dtype)
+        return dx1, dx2, dw
+    gyb = _stats_grad_correction(gy, gs, y).astype(x1.dtype)
     dx1 = _conv3d_banded_packed(gyb, f1, g)
     dx2 = _conv3d_banded_packed(gyb, f2, g)
     dw1 = conv3d_dw_packed(x1, gyb, g, w1.shape)

@@ -497,3 +497,59 @@ def test_flat_layout_fused_paths(rng):
              + conv3d_packed(x2, w2[..., 32:, :], g))
     np.testing.assert_allclose(np.asarray(y), np.asarray(want2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_flat_fused_backward_paths(rng):
+    """The flat-eligible backward paths run the corrected-cotangent +
+    pre-op-backward fusions entirely in-kernel (_conv3d_dx_fused_f, dW
+    corr); gradients must match the composed references for all three
+    stats-emitting ops."""
+    from mt3d_resenc_unet_tpu.ops.pallas_conv import (
+        _flat_eligible, conv3d_packed_dual_stats, conv3d_packed_stats)
+
+    g = 4
+    xp = jnp.asarray(
+        rng.standard_normal((1, 4, 4, 8, 128)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((3, 3, 3, 32, 32)).astype(np.float32) * 0.1)
+    assert _flat_eligible(8, g, xp.dtype)
+    gy = jnp.asarray(rng.standard_normal(xp.shape).astype(np.float32))
+    gs = jnp.asarray(rng.standard_normal((1, 2, 128)).astype(np.float32) * .1)
+
+    def loss_f(xp, w):
+        y, st = conv3d_packed_stats(xp, w, g)
+        return jnp.sum(y * gy) + jnp.sum(st * gs)
+
+    def loss_r(xp, w):
+        y = conv3d_packed(xp, w, g)
+        st = jnp.stack([jnp.sum(y, (1, 2, 3)),
+                        jnp.sum(y * y, (1, 2, 3))], axis=1)
+        return jnp.sum(y * gy) + jnp.sum(st * gs)
+
+    for a, b, name in zip(jax.grad(loss_f, (0, 1))(xp, w),
+                          jax.grad(loss_r, (0, 1))(xp, w), ("dx", "dw")):
+        sc = float(jnp.max(jnp.abs(b))) + 1e-8
+        np.testing.assert_allclose(np.asarray(a) / sc, np.asarray(b) / sc,
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
+
+    x2 = jnp.asarray(rng.standard_normal(xp.shape).astype(np.float32))
+    w2 = jnp.asarray(
+        rng.standard_normal((3, 3, 3, 64, 32)).astype(np.float32) * 0.1)
+
+    def loss_f3(x1, x2, w):
+        y, st = conv3d_packed_dual_stats(x1, x2, w, g)
+        return jnp.sum(y * gy) + jnp.sum(st * gs)
+
+    def loss_r3(x1, x2, w):
+        y = (conv3d_packed(x1, w[..., :32, :], g)
+             + conv3d_packed(x2, w[..., 32:, :], g))
+        st = jnp.stack([jnp.sum(y, (1, 2, 3)),
+                        jnp.sum(y * y, (1, 2, 3))], axis=1)
+        return jnp.sum(y * gy) + jnp.sum(st * gs)
+
+    for a, b, name in zip(jax.grad(loss_f3, (0, 1, 2))(xp, x2, w2),
+                          jax.grad(loss_r3, (0, 1, 2))(xp, x2, w2),
+                          ("dx1", "dx2", "dw")):
+        sc = float(jnp.max(jnp.abs(b))) + 1e-8
+        np.testing.assert_allclose(np.asarray(a) / sc, np.asarray(b) / sc,
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
