@@ -145,6 +145,22 @@ def analyze(tracedir, steps, top):
             print(f"  {dur / 1e3 / steps:8.2f}  x{cnt // steps:<4} "
                   f"{name[:90]}")
 
+    # source-line attribution: trace args carry the python source of each
+    # HLO op (args.source + tf_op) — group device time by repo line so hot
+    # spots map to code, not HLO names
+    by_src = {}
+    for e in evs:
+        a = e.get("args") or {}
+        src = a.get("source", "")
+        key = src.replace("/root/repo/", "") if src else "<no source>"
+        by_src.setdefault(key, [0.0, 0])
+        by_src[key][0] += e.get("dur", 0)
+        by_src[key][1] += 1
+    print(f"\ntop 30 source lines (ms/step):")
+    for src, (dur, cnt) in sorted(by_src.items(),
+                                  key=lambda kv: -kv[1][0])[:30]:
+        print(f"  {dur / 1e3 / steps:8.2f}  x{cnt // steps:<5} {src[:100]}")
+
 
 def main():
     p = argparse.ArgumentParser()
