@@ -128,6 +128,57 @@ def conv3d_stem(x: jax.Array, w: jax.Array) -> jax.Array:
     return y.reshape(n, d, h, wg * g, co).astype(x.dtype)
 
 
+def _stem_window_rows(x, g: int, kd: int, kh: int, dt):
+    """Group-windowed patch stack (M/g, kd*kh*(g+2)): row (n,d,h,q) holds,
+    per (dz, dy) tap, the g+2 x-values covering output group q's receptive
+    field along W — built from unit-stride shifted views (a stride-g slice
+    compiles to a ~40 ms gather on v5e, see _stem_cf_impl docstring)."""
+    n, d, h, wd, _ = x.shape
+    wg = wd // g
+    xg = x.reshape(n, d, h, wg, g).astype(dt)
+    zpad = ((0, 0), (0, 0), (0, 0))
+    prev_last = jnp.pad(xg[:, :, :, :-1, g - 1:g], zpad + ((1, 0), (0, 0)))
+    next_first = jnp.pad(xg[:, :, :, 1:, 0:1], zpad + ((0, 1), (0, 0)))
+    win = jnp.concatenate([prev_last, xg, next_first], -1)  # (..., wg, g+2)
+    winp = jnp.pad(win, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    cols = []
+    for dz in range(kd):
+        for dy in range(kh):
+            cols.append(jax.lax.slice(
+                winp, (0, dz, dy, 0, 0), (n, dz + d, dy + h, wg, g + 2)))
+    return jnp.concatenate(cols, -1).reshape(
+        n * d * h * wg, kd * kh * (g + 2))
+
+
+def _stem_packed_impl(x: jax.Array, w: jax.Array,
+                      packed_out: bool = False) -> jax.Array:
+    """Cin=1 stem conv as ONE group-windowed GEMM that emits the x-packed
+    layout DIRECTLY: rows (M/g, 9*(g+2)) against a banded weight matrix
+    (9*(g+2), g*co). The earlier channels-first form cost ~13 ms/step of
+    data formatting around its GEMM (a layout copy of the transposed
+    output + one reshape per consumer view, trace 2026-08-17); here the
+    (M/g, g*co) product IS the packed tensor, so every consumer view is a
+    free reshape. 2x structural-zero FLOPs on a 29-GFLOP op (~0.2 ms)."""
+    n, d, h, wd, _ = x.shape
+    kd, kh, kw, _, co = w.shape
+    g = 128 // co
+    dt = x.dtype
+    pg = _stem_window_rows(x, g, kd, kh, dt)
+    # B[(dzdy)*(g+2)+o, s*co+c] = w[dz, dy, o-s] (window offset o feeds
+    # output offset s at x-tap t = o - s)
+    wt = w.reshape(kd * kh, kw, co).astype(dt)
+    zeros = jnp.zeros_like(wt[:, 0])
+    b = jnp.stack([jnp.stack(
+        [wt[:, o - s_] if 0 <= o - s_ < kw else zeros
+         for s_ in range(g)], axis=1)
+        for o in range(g + 2)], axis=1)            # (9, g+2, g, co)
+    b = b.reshape(kd * kh * (g + 2), g * co)
+    y = jnp.dot(pg, b, preferred_element_type=jnp.float32).astype(dt)
+    if packed_out:
+        return y.reshape(n, d, h, wd // g, g * co)
+    return y.reshape(n, d, h, wd, co)
+
+
 def _stem_cf_impl(x: jax.Array, w: jax.Array,
                   packed_out: bool = False) -> jax.Array:
     """Cin=1 3x3x3 same-pad stride-1 conv via a LEADING-dim patch stack and
@@ -177,10 +228,19 @@ def conv3d_stem_cf(x: jax.Array, w: jax.Array,
     contracts the cotangent in its NATIVE x-packed (M/g, g*co) 128-lane
     form against a group-windowed patch matrix (M/g, 9*(g+2)) built from
     unit-stride views — no narrow-lane relayouts anywhere."""
+    if _stem_packed_ok(x.shape[3], w.shape[-1]):
+        return _stem_packed_impl(x, w, packed_out)
     return _stem_cf_impl(x, w, packed_out)
 
 
+def _stem_packed_ok(wd: int, co: int) -> bool:
+    return co <= 64 and 128 % co == 0 and wd % (128 // co) == 0
+
+
 def _stem_cf_fwd(x, w, packed_out):
+    co = w.shape[-1]
+    if _stem_packed_ok(x.shape[3], co):
+        return _stem_packed_impl(x, w, packed_out), (x, w)
     return _stem_cf_impl(x, w, packed_out), (x, w)
 
 
@@ -194,22 +254,7 @@ def _stem_cf_bwd(packed_out, res, gy):
     dt = gy.dtype
     gyp = gy.reshape(n * d * h * wg, g * co)        # free view of either form
 
-    # group-windowed patch stack: row (n,d,h,q) holds, per (dz,dy) tap, the
-    # g+2 x-values covering output group q's receptive field along W —
-    # built from unit-stride shifted views (a stride-g slice here compiles
-    # to a ~40 ms gather on v5e, see _stem_cf_impl docstring)
-    xg = x.reshape(n, d, h, wg, g).astype(dt)
-    zpad = ((0, 0), (0, 0), (0, 0))
-    prev_last = jnp.pad(xg[:, :, :, :-1, g - 1:g], zpad + ((1, 0), (0, 0)))
-    next_first = jnp.pad(xg[:, :, :, 1:, 0:1], zpad + ((0, 1), (0, 0)))
-    win = jnp.concatenate([prev_last, xg, next_first], -1)  # (..., wg, g+2)
-    winp = jnp.pad(win, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
-    cols = []
-    for dz in range(kd):
-        for dy in range(kh):
-            cols.append(jax.lax.slice(
-                winp, (0, dz, dy, 0, 0), (n, dz + d, dy + h, wg, g + 2)))
-    pg = jnp.concatenate(cols, -1).reshape(n * d * h * wg, kd * kh * (g + 2))
+    pg = _stem_window_rows(x, g, kd, kh, dt)
 
     # dWmat[(dzdy)*(g+2)+o, s*co+c]: window offset o feeds output offset s
     # at x-tap t = o - s
