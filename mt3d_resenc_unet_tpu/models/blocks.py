@@ -26,6 +26,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.gemm_conv import (conv3d_stem_cf, conv3d_tapsum, stem_supported,
                              tapsum_supported)
@@ -135,6 +136,9 @@ class Conv(nn.Module):
                                      g))
                 if emit_stats:
                     st = packed_stats_xla(y)
+            # (packed-path conv outputs are named INSIDE the custom-VJP
+            # forward rules, ops/pallas_conv.py — naming here again would
+            # save the same buffer twice under the save-convs remat policy)
             if self.use_bias:
                 # kernel stats are pre-bias — callers only fuse bias-free
                 # convs (the architecture default, conv_bias=False)
@@ -167,6 +171,7 @@ class Conv(nn.Module):
             c1 = x.shape[-1]
             y = (self._dispatch(x.astype(self.dtype), k[..., :c1, :])
                  + self._dispatch(x2.astype(self.dtype), k[..., c1:, :]))
+        y = checkpoint_name(y, "mt3d_conv")
         if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
@@ -231,6 +236,28 @@ def _remat_worthwhile(x) -> bool:
     for s in x.shape[1:]:
         per_sample *= s
     return per_sample >= REMAT_MIN_ELEMS
+
+
+def _remat_wrap(base, static_argnums, x):
+    """nn.remat with the save-convs policy: the named raw conv outputs
+    (Conv.__call__ checkpoint_name) are SAVED for backward, so the block's
+    backward recomputes only the cheap elementwise tail — zero conv
+    re-executions — at the memory cost of one bf16 tensor per conv instead
+    of one per block. MT3D_REMAT_SAVE_CONVS=0 restores save-nothing remat;
+    MT3D_REMAT_SAVE_MAX (per-sample elements) bounds which resolutions
+    keep their conv outputs (larger stages fall back to full remat)."""
+    import os
+    if os.environ.get("MT3D_REMAT_SAVE_CONVS", "1") == "1":
+        per_sample = 1
+        for s in x.shape[1:]:
+            per_sample *= s
+        cap = int(os.environ.get("MT3D_REMAT_SAVE_MAX", str(1 << 62)))
+        if per_sample <= cap:
+            return nn.remat(
+                base, static_argnums=static_argnums,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "mt3d_conv"))
+    return nn.remat(base, static_argnums=static_argnums)
 
 
 def _pad_same(kernel: Sequence[int]) -> Tuple[Tuple[int, int], ...]:
@@ -629,9 +656,9 @@ class StackedResidualBlocks(nn.Module):
         # that replaces the reference's reliance on 24GB GPUs
         # (SURVEY.md §7.3.2; 3D U-Net activations dominate memory).
         do_remat = self.remat and _remat_worthwhile(x)
-        basic_cls = nn.remat(BasicBlockD, static_argnums=(2,)) \
+        basic_cls = _remat_wrap(BasicBlockD, (2,), x) \
             if do_remat else BasicBlockD
-        bottleneck_cls = nn.remat(BottleneckD, static_argnums=(2,)) \
+        bottleneck_cls = _remat_wrap(BottleneckD, (2,), x) \
             if do_remat else BottleneckD
         common = dict(
             features=self.features, kernel=self.kernel,
@@ -703,7 +730,7 @@ class StackedConvBlocks(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, x2=None):
         ones = (1,) * len(self.initial_stride)
-        conv_cls = nn.remat(ConvNormAct, static_argnums=(2,)) \
+        conv_cls = _remat_wrap(ConvNormAct, (2,), x) \
             if self.remat and _remat_worthwhile(x) else ConvNormAct
         # packed fast path (mirrors StackedResidualBlocks): stride-1 stacks
         # whose convs are all banded-kernel shapes run on the x-packed
@@ -736,7 +763,7 @@ class StackedConvBlocks(nn.Module):
                 # conv0's split (up, skip) pair falls back to an XLA stats
                 # reduction (halves' sumsq don't combine) but still skips
                 # the standalone apply pass.
-                cls = nn.remat(ConvNormAct, static_argnums=(2, 6)) \
+                cls = _remat_wrap(ConvNormAct, (2, 6), x) \
                     if self.remat and _remat_worthwhile(x) else ConvNormAct
                 count = d * h * (w // g) * g
                 y, st = xp, None

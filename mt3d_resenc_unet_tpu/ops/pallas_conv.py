@@ -42,6 +42,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -1235,6 +1236,11 @@ def conv3d_packed_stats(xp: jax.Array, w: jax.Array, g: int):
 
 def _stats_fwd(xp, w, g):
     yp, st = conv3d_packed_stats(xp, w, g)
+    # name the residual-carried outputs: under the save-convs remat policy
+    # (models/blocks.py _remat_wrap) they are SAVED, so block-level remat
+    # does not re-run the conv in the backward pass to regenerate them
+    yp = checkpoint_name(yp, "mt3d_conv")
+    st = checkpoint_name(st, "mt3d_conv")
     return (yp, st), (xp, w, yp)
 
 
@@ -1273,6 +1279,8 @@ def conv3d_packed_ns(xp: jax.Array, w: jax.Array, scale: jax.Array,
 
 def _ns_fwd(xp, w, scale, shift, g, neg_slope):
     yp, st = conv3d_packed_ns(xp, w, scale, shift, g, neg_slope)
+    yp = checkpoint_name(yp, "mt3d_conv")   # see _stats_fwd
+    st = checkpoint_name(st, "mt3d_conv")
     return (yp, st), (xp, w, scale, shift, yp)
 
 
@@ -1332,6 +1340,8 @@ def conv3d_packed_dual_stats(x1: jax.Array, x2: jax.Array, w: jax.Array,
 
 def _dual_fwd(x1, x2, w, g):
     y, st = conv3d_packed_dual_stats(x1, x2, w, g)
+    y = checkpoint_name(y, "mt3d_conv")     # see _stats_fwd
+    st = checkpoint_name(st, "mt3d_conv")
     return (y, st), (x1, x2, w, y)
 
 
