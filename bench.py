@@ -131,6 +131,12 @@ def run_bench(batch, patch, steps, warmup, remat=True):
     except OverBudget:
         raise
     except Exception as e:  # lowering/AOT quirks: fall back to implicit jit
+        msg = str(e)
+        if ("RESOURCE_EXHAUSTED" in msg or "Ran out of memory" in msg
+                or "ResourceExhausted" in msg):
+            # the compile itself hit the capacity wall — executing would
+            # just recompile and fail again several minutes later
+            raise OverBudget(f"batch {batch}: AOT compile OOM") from e
         print(f"[bench] AOT memory probe unavailable "
               f"({type(e).__name__}); executing directly", file=sys.stderr)
 

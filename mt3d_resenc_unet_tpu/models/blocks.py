@@ -253,8 +253,13 @@ def _remat_wrap(base, static_argnums, x):
             per_sample *= s
         cap = int(os.environ.get("MT3D_REMAT_SAVE_MAX", str(1 << 62)))
         if per_sample <= cap:
+            # with the convs saved, the only recompute is cheap elementwise
+            # work — CSE barriers would just materialize extra copies of
+            # the saved tensors (measured +30 ms/step at b4, 2026-08-18)
+            prevent_cse = os.environ.get("MT3D_REMAT_CSE", "0") == "1"
             return nn.remat(
                 base, static_argnums=static_argnums,
+                prevent_cse=prevent_cse,
                 policy=jax.checkpoint_policies.save_only_these_names(
                     "mt3d_conv"))
     return nn.remat(base, static_argnums=static_argnums)
