@@ -47,6 +47,7 @@ class UpsampleConv(nn.Module):
     features: int
     kernel_size: Tuple[int, ...]
     use_bias: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -88,14 +89,24 @@ class UpsampleConv(nn.Module):
                     wb = wb.at[:, :, q, :, 2 * q + dk, :].set(
                         wflip[:, :, dk])
             wb = wb.reshape(2, 2, qn * ci, g_o * co)
-            ys = [jnp.dot(xp, wb[di, dj], preferred_element_type=self.dtype)
-                  for di in range(2) for dj in range(2)]
-            y = jnp.stack(ys, axis=0).reshape(2, 2, n, di_, hi_, wg, 128)
-            # (di,dj,N,D,H,Wg,L) -> (N,D,di,H,dj,Wg,L): minor dims untouched
-            # (strided .at[::2].set scatters measured 6% SLOWER end-to-end
-            # than this stack + major-dims transpose)
-            y = y.transpose(2, 3, 0, 4, 1, 5, 6)
-            y = y.reshape(n, 2 * di_, 2 * hi_, 2 * wi_, co)
+            if self.use_pallas and qn * ci == 128:
+                # fused GEMM + (D, H)-interleaved write: the kernel emits
+                # (N, Di, 2, Hi, 2, Wg, 128) so both reshapes below are
+                # free views — no stack, no transpose pass
+                # (ops/pallas_upsample.py)
+                from ..ops.pallas_upsample import upsample2x_packed
+                y = upsample2x_packed(xp, wb)
+                y = y.reshape(n, 2 * di_, 2 * hi_, 2 * wi_, co)
+            else:
+                ys = [jnp.dot(xp, wb[di, dj],
+                              preferred_element_type=self.dtype)
+                      for di in range(2) for dj in range(2)]
+                y = jnp.stack(ys, axis=0).reshape(2, 2, n, di_, hi_, wg, 128)
+                # (di,dj,N,D,H,Wg,L) -> (N,D,di,H,dj,Wg,L): minor dims
+                # untouched (strided .at[::2].set scatters measured 6%
+                # SLOWER end-to-end than this stack + major-dims transpose)
+                y = y.transpose(2, 3, 0, 4, 1, 5, 6)
+                y = y.reshape(n, 2 * di_, 2 * hi_, 2 * wi_, co)
         else:
             # (k..., ci, co) -> (ci, prod(k)*co)
             w2 = jnp.moveaxis(wflip, nd, 0)
@@ -235,7 +246,8 @@ class Decoder(nn.Module):
             # as a pointwise GEMM + depth-to-space
             x = UpsampleConv(
                 features=skip_features, kernel_size=stride,
-                use_bias=p.conv_bias, dtype=self.dtype,
+                use_bias=p.conv_bias, use_pallas=p.use_pallas_conv,
+                dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"up{s - 1}",
             )(x)
             # the skip concat (reference: decoder.py:137-162) is never
