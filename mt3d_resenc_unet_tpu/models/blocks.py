@@ -691,10 +691,12 @@ class StackedResidualBlocks(nn.Module):
         for i in range(self.n_blocks):
             if packed_from is not None and i == packed_from:
                 kshape = (3, 3, 3, self.features, self.features)
-                # packing requires g = 128/C >= 2; C > 64 stages use the
-                # plain layout (the dense g=1 kernel via Conv._dispatch)
-                if self.features <= 64 and _pallas_conv_ok(x.shape, kshape):
-                    g = 128 // self.features
+                # packing requires g = 128/C >= 2; the deep 256/512-channel
+                # stages run the same FUSED chain at g = 1 (dense band,
+                # sample-batched tiles, stats/pre-op in-kernel); C = 128
+                # stays on XLA convs (measured faster at 32^3)
+                if _pallas_conv_ok(x.shape, kshape):
+                    g = 128 // self.features if self.features <= 64 else 1
                     n, d, h, w, c = x.shape
                     xp = x.reshape(n, d, h, w // g, g * c)
                     for j in range(i, self.n_blocks):
@@ -743,13 +745,17 @@ class StackedConvBlocks(nn.Module):
         # avoiding per-conv pack/unpack relayouts
         c = self.features
         kshape = (3, 3, 3, c, c)
+        # deep g=1 stages join the fused chain when the per-plane GEMM M
+        # stays MXU-sized (the split-weight dual kernel cannot batch
+        # samples, so tiny extents would run at poor MXU fill)
+        deep_ok = (c >= 256 and x.shape[1] * x.shape[2] * x.shape[3] >= 4096)
         if (self.use_pallas and tuple(self.kernel) == (3, 3, 3)
                 and all(s == 1 for s in self.initial_stride)
-                and c <= 64  # packing requires g = 128/C >= 2 (see above)
+                and (c <= 64 or deep_ok)
                 and x.shape[-1] == c
                 and (x2 is None or x2.shape[-1] == c)
                 and _pallas_conv_ok(x.shape, kshape)):
-            g = 128 // c
+            g = 128 // c if c <= 64 else 1
             n, d, h, w, _ = x.shape
             xp = x.reshape(n, d, h, w // g, g * c)
             xp2 = (x2.reshape(n, d, h, w // g, g * c)

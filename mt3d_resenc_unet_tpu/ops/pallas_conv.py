@@ -172,16 +172,24 @@ def _pick_tile_flat(d: int, h: int, wg: int, gc: int, itemsize: int,
 def _tile_norm(x_s, pre_ref, di, hi, bd, bh, wg, neg_slope):
     """Apply ``leaky(x * scale - shift)`` to a halo'd input tile, zeroing
     the pad positions (halo rows outside the volume and the x-axis
-    pad/alignment groups must stay zero for same-padding semantics)."""
+    pad/alignment groups must stay zero for same-padding semantics).
+    Handles both (bd+2, bh+2, wga, gci) tiles and sample-batched
+    (bn, bd+2, bh+2, wga, gci) tiles (per-sample scale/shift rows)."""
     nd = pl.num_programs(1)
     nh = pl.num_programs(2)
-    shp = x_s.shape                      # (bd+2, bh+2, wga, gci)
+    shp = x_s.shape
     dt = x_s.dtype
-    sc = pre_ref[0, 0].astype(dt)[None, None, None, :]
-    sh = pre_ref[0, 1].astype(dt)[None, None, None, :]
-    r = lax.broadcasted_iota(jnp.int32, shp, 0) + di * bd
-    hq = lax.broadcasted_iota(jnp.int32, shp, 1) + hi * bh
-    wq = lax.broadcasted_iota(jnp.int32, shp, 2)
+    bnd = len(shp) == 5                  # leading sample-batch dim
+    o = 1 if bnd else 0
+    if bnd:
+        sc = pre_ref[:, 0].astype(dt)[:, None, None, None, :]
+        sh = pre_ref[:, 1].astype(dt)[:, None, None, None, :]
+    else:
+        sc = pre_ref[0, 0].astype(dt)[None, None, None, :]
+        sh = pre_ref[0, 1].astype(dt)[None, None, None, :]
+    r = lax.broadcasted_iota(jnp.int32, shp, o + 0) + di * bd
+    hq = lax.broadcasted_iota(jnp.int32, shp, o + 1) + hi * bh
+    wq = lax.broadcasted_iota(jnp.int32, shp, o + 2)
     valid = ((r >= 1) & (r <= nd * bd) & (hq >= 1) & (hq <= nh * bh)
              & (wq >= 1) & (wq <= wg))
     u = x_s[...] * sc - sh
@@ -424,7 +432,7 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     m = bn * bd * bh * wg
     dn = (((1,), (0,)), ((), ()))
     side_k = gci if g == 1 else (ci if gci <= 128 else 128)
-    assert bn == 1 or not (pre or stats or addin or cat)
+    assert bn == 1 or not (addin or cat)
 
     def dma(sl, a, b, c, op):
         buf = (x_s0, x_s1)[sl]
@@ -603,8 +611,13 @@ def _conv_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
             # without a standalone XLA add + reduction pass
             acc = acc + add_ref[0].reshape(m, gco).astype(jnp.float32)
         if stats:
-            stats_ref[0, 0, :] += jnp.sum(acc, axis=0)
-            stats_ref[0, 1, :] += jnp.sum(acc * acc, axis=0)
+            if bn > 1:
+                a3 = acc.reshape(bn, bd * bh * wg, gco)
+                stats_ref[:, 0, :] += jnp.sum(a3, axis=1)
+                stats_ref[:, 1, :] += jnp.sum(a3 * a3, axis=1)
+            else:
+                stats_ref[0, 0, :] += jnp.sum(acc, axis=0)
+                stats_ref[0, 1, :] += jnp.sum(acc * acc, axis=0)
         if bn > 1:
             y_ref[...] = acc.reshape(bn, bd, bh, wg, gco).astype(y_ref.dtype)
         else:
@@ -646,11 +659,13 @@ def _conv3d_banded_packed_f(xp: jax.Array, w: jax.Array, g: int,
     wga = ((wg + 2 + sub - 1) // sub) * sub
     # g=1 deep stages: tiny spatial extents -> whole-plane tiles, batched
     # over samples so the GEMM M dim stays MXU-pipeline-sized
-    plain = pre_vec is None and not emit_stats and add_to is None and not cat
+    # fused pre/stats compose with sample batching (per-sample scale/shift
+    # rows, per-sample stats accumulation); only addin/cat do not
+    batchable = add_to is None and not cat
     # flat tile windows are wg-aligned in the flattened dim; Mosaic requires
     # 16-sublane (bf16) alignment of second-minor DMA offsets
     flat = _flat_env() and g >= 2 and not cat and wg % sub == 0
-    if g == 1 and plain:
+    if g == 1 and batchable:
         bd, bh = _pick_tile(d, h, wga, max(gci, gco), xp.dtype.itemsize,
                             budget_bytes=6 << 20)
         bn = (_pick_bn(n, d, h, wga, gci, xp.dtype.itemsize)
@@ -709,7 +724,7 @@ def _conv3d_banded_packed_f(xp: jax.Array, w: jax.Array, g: int,
         ]
         operands = [xpp, b_mid, b_left, b_right]
     if pre_vec is not None:
-        in_specs.append(pl.BlockSpec((1, 2, gci),
+        in_specs.append(pl.BlockSpec((bn, 2, gci),
                                      lambda ni, di, hi: (ni, 0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(pre_vec)
@@ -724,7 +739,8 @@ def _conv3d_banded_packed_f(xp: jax.Array, w: jax.Array, g: int,
     out_shape = jax.ShapeDtypeStruct((n, d, h, wg, gco), xp.dtype)
     if emit_stats:
         out_specs = (out_specs,
-                     pl.BlockSpec((1, 2, gco), lambda ni, di, hi: (ni, 0, 0),
+                     pl.BlockSpec((bn, 2, gco),
+                                  lambda ni, di, hi: (ni, 0, 0),
                                   memory_space=pltpu.VMEM))
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((n, 2, gco), jnp.float32))
@@ -888,7 +904,7 @@ def _dw_kernel(*refs, g: int, ci: int, co: int, bd: int, bh: int,
     wg = gy_ref.shape[3]
     m = bn * bd * bh * wg
     dn = (((0,), (0,)), ((), ()))  # contract over rows (spatial)
-    assert bn == 1 or not (pre or cat)
+    assert bn == 1 or not cat
 
     def dma(buf, sl, a, b, c, op):
         if flat:
@@ -1078,8 +1094,9 @@ def conv3d_dw_packed(xp: jax.Array, gyp: jax.Array, g: int,
                             cat_row_bytes=(wg * 9 * gci * xp.dtype.itemsize
                                            if cat else 0))
     # g=1 deep stages with whole-plane tiles: batch samples to keep the
-    # contraction's spatial (K) dim MXU-pipeline-sized (see _pick_bn)
-    if g == 1 and pre_vec is None and not cat and (bd, bh) == (d, h):
+    # contraction's spatial (K) dim MXU-pipeline-sized (see _pick_bn);
+    # the fused pre-op composes (per-sample scale/shift rows)
+    if g == 1 and corr is None and not cat and (bd, bh) == (d, h):
         bn = _pick_bn(n, d, h, wga, gci, xp.dtype.itemsize)
     else:
         bn = 1
@@ -1125,7 +1142,7 @@ def conv3d_dw_packed(xp: jax.Array, gyp: jax.Array, g: int,
             m2.shape, lambda ni, di, hi: (0, 0), memory_space=pltpu.VMEM))
         operands.append(m2)
     if pre_vec is not None:
-        in_specs.append(pl.BlockSpec((1, 2, gci),
+        in_specs.append(pl.BlockSpec((bn, 2, gci),
                                      lambda ni, di, hi: (ni, 0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(pre_vec)

@@ -553,3 +553,70 @@ def test_flat_fused_backward_paths(rng):
         sc = float(jnp.max(jnp.abs(b))) + 1e-8
         np.testing.assert_allclose(np.asarray(a) / sc, np.asarray(b) / sc,
                                    rtol=2e-3, atol=2e-4, err_msg=name)
+
+
+def test_fused_stats_g1_sample_batched(rng):
+    """Deep-stage g=1 class: fused stats with sample-batched whole-plane
+    tiles (bn > 1) matches XLA reductions; fused pre-op matches the
+    composed reference (the 256/512-channel stages' fused chain)."""
+    from mt3d_resenc_unet_tpu.ops.pallas_conv import (
+        conv3d_packed_ns, conv3d_packed_stats)
+
+    c = 256
+    x = jnp.asarray(rng.standard_normal((4, 4, 4, 4, c)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((3, 3, 3, c, c)).astype(np.float32) * 0.05)
+    yp, st = conv3d_packed_stats(x, w, 1)
+    want = _ref_conv(x, w)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    yf = np.asarray(yp, np.float32)
+    np.testing.assert_allclose(np.asarray(st[:, 0]), yf.sum((1, 2, 3)),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(st[:, 1]), (yf * yf).sum((1, 2, 3)),
+                               rtol=1e-3, atol=1e-3)
+
+    neg = 1e-2
+    scale = jnp.asarray(rng.random((4, c)).astype(np.float32) + 0.5)
+    shift = jnp.asarray(rng.standard_normal((4, c)).astype(np.float32) * 0.1)
+    yp2, st2 = conv3d_packed_ns(x, w, scale, shift, 1, neg)
+    u = x * scale[:, None, None, None, :] - shift[:, None, None, None, :]
+    xn = jnp.where(u >= 0, u, u * neg)
+    want2 = _ref_conv(xn, w)
+    np.testing.assert_allclose(np.asarray(yp2), np.asarray(want2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_pre_gradients_g1(rng):
+    """Gradient parity for the g=1 fused pre+conv+stats op (deep stages)."""
+    from mt3d_resenc_unet_tpu.ops.pallas_conv import conv3d_packed_ns
+
+    c = 256
+    neg = 1e-2
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 4, c)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((3, 3, 3, c, c)).astype(np.float32) * 0.05)
+    scale = jnp.asarray(rng.random((2, c)).astype(np.float32) + 0.5)
+    shift = jnp.asarray(rng.standard_normal((2, c)).astype(np.float32) * 0.1)
+    t = jnp.asarray(rng.standard_normal((2, 4, 4, 4, c)).astype(np.float32))
+
+    def loss_fused(x, w, scale, shift):
+        y, st = conv3d_packed_ns(x, w, scale, shift, 1, neg)
+        return (jnp.sum((y.astype(jnp.float32) - t) ** 2)
+                + jnp.sum(st[:, 0] * 0.5) + jnp.sum(st[:, 1] * 0.25))
+
+    def loss_ref(x, w, scale, shift):
+        u = (x * scale[:, None, None, None, :]
+             - shift[:, None, None, None, :])
+        xn = jnp.where(u >= 0, u, u * neg)
+        y = _ref_conv(xn, w).astype(jnp.float32)
+        st0 = y.sum((1, 2, 3))
+        st1 = (y * y).sum((1, 2, 3))
+        return (jnp.sum((y - t) ** 2)
+                + jnp.sum(st0 * 0.5) + jnp.sum(st1 * 0.25))
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, w, scale, shift)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w, scale, shift)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
