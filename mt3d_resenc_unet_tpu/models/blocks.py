@@ -536,16 +536,64 @@ class BasicBlockD(nn.Module):
             in_features=in_features, norm_affine=self.norm_affine,
             norm_eps=self.norm_eps, dtype=self.dtype,
             param_dtype=self.param_dtype, name="skip")(x, x2)
-        out = ConvNormAct(
-            features=self.features, kernel=self.kernel, stride=self.stride,
-            use_bias=self.conv_bias, norm_affine=self.norm_affine,
-            norm_eps=self.norm_eps, act=True,
-            negative_slope=self.negative_slope, dropout_p=self.dropout_p,
-            use_pallas=self.use_pallas,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="conv1",
-        )(x, train, None, x2)
         fuse_tail = not (self.squeeze_excitation
                          or (train and self.stochastic_depth_p > 0.0))
+        c = self.features
+        k2shape = (3, 3, 3) + (c, c)
+        fuse_entry = (
+            fuse_tail and self.use_pallas and len(self.stride) == 3
+            and tuple(self.kernel) == (3, 3, 3)
+            and not self.conv_bias and not self.norm_affine
+            and self.dropout_p == 0.0
+            and (c <= 64 or c >= 256))
+        if fuse_entry:
+            # strided ENTRY block fusion: conv1 (s2/XLA/tapsum backend)
+            # skips its norm pass — one read-only stats reduction feeds
+            # conv2's in-kernel pre-op; conv2 emits its own stats and the
+            # tail applies norm2 + residual add + LeakyReLU in one pass
+            out = ConvNormAct(
+                features=c, kernel=self.kernel, stride=self.stride,
+                use_bias=False, norm=False, act=False,
+                use_pallas=self.use_pallas,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="conv1")(x, train, None, x2)
+            n, d_, h_, w_, _ = out.shape
+            g = 128 // c if c <= 64 else 1
+            if w_ % g == 0 and _pallas_conv_ok(out.shape, k2shape):
+                outp = out.reshape(n, d_, h_, w_ // g, g * c)
+                count = d_ * h_ * w_
+                st1 = packed_stats_xla(outp)
+                a1, b1 = stats_to_scale_shift(st1, g, count, self.norm_eps)
+                y2, st2 = ConvNormAct(
+                    features=c, kernel=self.kernel,
+                    stride=(1,) * 3, use_bias=False,
+                    norm_eps=self.norm_eps, act=True,
+                    negative_slope=self.negative_slope,
+                    use_pallas=True, packed_g=g,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="conv2")(outp, train, pre=(a1, b1),
+                                  fused_stats=True)
+                a2, b2 = stats_to_scale_shift(st2, g, count, self.norm_eps)
+                out = norm_apply_packed(
+                    y2, a2, b2, self.negative_slope, act=True,
+                    residual=residual.reshape(y2.shape))
+                return out.reshape(n, d_, h_, w_, c)
+            # conv2 class unsupported: apply conv1's norm standalone and
+            # fall through to the plain conv2 path
+            out = InstanceNorm(
+                affine=False, eps=self.norm_eps,
+                negative_slope=self.negative_slope, act=True,
+                param_dtype=self.param_dtype, name="norm1x")(out)
+        else:
+            out = ConvNormAct(
+                features=c, kernel=self.kernel, stride=self.stride,
+                use_bias=self.conv_bias, norm_affine=self.norm_affine,
+                norm_eps=self.norm_eps, act=True,
+                negative_slope=self.negative_slope,
+                dropout_p=self.dropout_p,
+                use_pallas=self.use_pallas,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="conv1")(x, train, None, x2)
         conv2 = ConvNormAct(
             features=self.features, kernel=self.kernel,
             stride=(1,) * len(self.stride), use_bias=self.conv_bias,

@@ -65,6 +65,9 @@ def build_optimizer(
         )
     else:
         opt = optax.adamw(learning_rate=schedule, weight_decay=weight_decay)
+    # (optax.flatten measured 4% SLOWER end-to-end, 2026-08-18: the
+    # ravel/unravel concats and lost donation aliasing outweigh the ~90
+    # per-leaf fusion dispatches they remove)
     return optax.chain(optax.clip_by_global_norm(grad_clip_norm), opt)
 
 

@@ -620,3 +620,23 @@ def test_fused_pre_gradients_g1(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_entry_block_fusion_matches_plain(rng):
+    """Strided entry-block fusion (conv1 stats -> conv2 pre-op -> fused
+    tail) == the plain ConvNormAct composition with identical params."""
+    from mt3d_resenc_unet_tpu.models.blocks import BasicBlockD
+
+    for c, e in [(64, 8), (256, 8)]:
+        x = jnp.asarray(
+            rng.standard_normal((1, e, e, 2 * e, c // 2)).astype(np.float32))
+        kw = dict(features=c, kernel=(3, 3, 3), stride=(2, 2, 2),
+                  dtype=jnp.float32)
+        m0 = BasicBlockD(use_pallas=False, **kw)
+        m1 = BasicBlockD(use_pallas=True, **kw)
+        params = m0.init(jax.random.key(0), x)
+        y0 = m0.apply(params, x)
+        y1 = m1.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=f"C={c}")
