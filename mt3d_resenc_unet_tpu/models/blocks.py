@@ -355,13 +355,19 @@ class ConvNormAct(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",
-        )(x, x2, pre=pre, emit_stats=fused_stats)
+        )(x, x2, pre=pre, emit_stats=fused_stats and self.packed_g > 0)
         if fused_stats:
             # fused pipeline: the caller applies this conv's norm via the
             # emitted stats (as the next conv's pre-op or a tail pass); the
             # norm module would hold no params anyway (affine=False only)
             assert self.norm and not self.norm_affine \
                 and self.dropout_p == 0.0
+            if (not self.packed_g and x.ndim == 5
+                    and x.shape[-1] != self.features):
+                # stem path emitted the x-packed layout: hand the caller
+                # (packed y, stats) so the stem norm runs as the next
+                # conv's in-kernel pre-op instead of a standalone pass
+                return x, packed_stats_xla(x)
             return x
         if not self.packed_g and x.ndim == 5 and x.shape[-1] != self.features:
             # the stem path emitted the x-packed layout: norm packed, then
@@ -498,7 +504,7 @@ class BasicBlockD(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, x2=None):
+    def __call__(self, x, train: bool = False, x2=None, pre=None):
         if self.packed_g:
             # identity skip; conv -> norm+act -> conv -> norm+add+act, all
             # on the packed layout (no lane padding, no boundary relayouts)
@@ -517,19 +523,28 @@ class BasicBlockD(nn.Module):
                 # pre-op AND emits its own stats; one elementwise tail pass
                 # does norm2 + residual add + LeakyReLU. Zero standalone
                 # stats passes, one apply pass per block (was two of each).
+                # ``pre``: an upstream producer's (scale, shift) — e.g. the
+                # stem's statistics — applied as conv1's pre-op. NOTE: the
+                # residual added by the tail is then the PRE-ACTIVATION
+                # input, so callers only pass ``pre`` for the stem handoff
+                # where the reference applies the stem norm before stage0
+                # anyway (builders/encoder.py:84-88).
                 _, d_, h_, wg_, _ = x.shape
                 count = d_ * h_ * wg_ * g
                 y1, s1 = ConvNormAct(act=True, name="conv1", **pk)(
-                    x, train, fused_stats=True)
+                    x, train, pre=pre, fused_stats=True)
                 a1, b1 = stats_to_scale_shift(s1, g, count, self.norm_eps)
                 y2, s2 = ConvNormAct(act=True, name="conv2", **pk)(
                     y1, train, pre=(a1, b1), fused_stats=True)
                 a2, b2 = stats_to_scale_shift(s2, g, count, self.norm_eps)
                 return norm_apply_packed(y2, a2, b2, self.negative_slope,
-                                         act=True, residual=x)
+                                         act=True, residual=x,
+                                         residual_pre=pre)
+            assert pre is None
             out = ConvNormAct(act=True, dropout_p=self.dropout_p,
                               name="conv1", **pk)(x, train)
             return ConvNormAct(act=True, name="conv2", **pk)(out, train, x)
+        assert pre is None  # stem handoff targets the packed fused chain
         in_features = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         residual = _ResidualSkip(
             features=self.features, stride=self.stride,
@@ -702,7 +717,7 @@ class StackedResidualBlocks(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, x2=None):
+    def __call__(self, x, train: bool = False, x2=None, pre=None):
         ones = (1,) * len(self.initial_stride)
         # Rematerialization: store only block boundaries for backward and
         # recompute in-block activations — the TPU trade of HBM for FLOPs
@@ -713,6 +728,30 @@ class StackedResidualBlocks(nn.Module):
             if do_remat else BasicBlockD
         bottleneck_cls = _remat_wrap(BottleneckD, (2,), x) \
             if do_remat else BottleneckD
+        if pre is not None:
+            # stem handoff (models/network.py Encoder): consumable only by
+            # the packed fused chain's first conv — otherwise apply the
+            # producer's norm here in one packed pass
+            will_fuse = (
+                self.use_pallas and self.block_type != "BottleneckBlockD"
+                and not self.squeeze_excitation
+                and self.stochastic_depth_p == 0.0
+                and tuple(self.kernel) == (3, 3, 3)
+                and all(st == 1 for st in self.initial_stride)
+                and x2 is None and x.shape[-1] == self.features
+                and not self.conv_bias and not self.norm_affine
+                and self.dropout_p == 0.0
+                and _pallas_conv_ok(
+                    x.shape,
+                    (3, 3, 3, self.features, self.features)))
+            if not will_fuse:
+                gc0 = pre[0].shape[-1]
+                g0 = gc0 // x.shape[-1]
+                n_, d_, h_, w_, _ = x.shape
+                x = norm_apply_packed(
+                    x.reshape(n_, d_, h_, w_ // g0, gc0), pre[0], pre[1],
+                    self.negative_slope, act=True).reshape(x.shape)
+                pre = None
         common = dict(
             features=self.features, kernel=self.kernel,
             conv_bias=self.conv_bias, norm_affine=self.norm_affine,
@@ -748,8 +787,11 @@ class StackedResidualBlocks(nn.Module):
                     n, d, h, w, c = x.shape
                     xp = x.reshape(n, d, h, w // g, g * c)
                     for j in range(i, self.n_blocks):
-                        xp = basic_cls(stride=ones, packed_g=g,
-                                       name=f"block{j}", **common)(xp, train)
+                        xp = basic_cls(
+                            stride=ones, packed_g=g,
+                            name=f"block{j}", **common)(
+                            xp, train, None, pre if j == i else None)
+                        pre = None
                     return xp.reshape(n, d, h, w, c)
             stride = self.initial_stride if i == 0 else ones
             if self.block_type == "BottleneckBlockD":
@@ -779,12 +821,34 @@ class StackedConvBlocks(nn.Module):
     dropout_p: float = 0.0
     remat: bool = False
     use_pallas: bool = False
+    emit_pre: bool = False  # stem: return (packed y, stats) when possible
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, x2=None):
         ones = (1,) * len(self.initial_stride)
+        if (self.emit_pre and self.n_convs == 1 and self.use_pallas
+                and not self.conv_bias and not self.norm_affine
+                and self.dropout_p == 0.0):
+            # stem handoff: emit (packed conv output, IN stats) so the
+            # consumer applies the stem norm as its first conv's in-kernel
+            # pre-op. Falls back to a standalone norm when the stem conv
+            # did not produce the packed layout (InstanceNorm holds no
+            # params, so the extra module keeps checkpoints identical).
+            y = ConvNormAct(
+                features=self.features, kernel=self.kernel,
+                stride=self.initial_stride, use_bias=False,
+                norm_eps=self.norm_eps, act=True,
+                negative_slope=self.negative_slope, use_pallas=True,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="conv0")(x, train, None, x2, None, True)
+            if isinstance(y, tuple):
+                return y
+            return InstanceNorm(
+                affine=False, eps=self.norm_eps,
+                negative_slope=self.negative_slope, act=True,
+                param_dtype=self.param_dtype, name="norm0x")(y)
         conv_cls = _remat_wrap(ConvNormAct, (2,), x) \
             if self.remat and _remat_worthwhile(x) else ConvNormAct
         # packed fast path (mirrors StackedResidualBlocks): stride-1 stacks

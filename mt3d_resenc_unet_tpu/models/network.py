@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.plan import NetworkPlan
+from ..ops.instance_norm import norm_apply_packed, stats_to_scale_shift
 from .blocks import (
     ConvNormAct,
     StackedConvBlocks,
@@ -176,14 +177,33 @@ class Encoder(nn.Module):
             use_pallas=p.use_pallas_conv, dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
+        residual_encoder = p.basic_encoder_block in ("BasicBlockD", "BottleneckBlockD")
+        pre0 = None
         if p.do_stem:
-            x = StackedConvBlocks(
+            # stem handoff: emit the stem conv's packed output + IN stats
+            # and let stage0's first fused conv apply the stem norm as its
+            # in-kernel pre-op (reference applies it standalone,
+            # builders/encoder.py:84-88)
+            stem_fuse = (p.use_pallas_conv and residual_encoder
+                         and p.dim == 3 and not p.conv_bias
+                         and not p.norm_affine and p.dropout_p == 0.0)
+            out = StackedConvBlocks(
                 n_convs=1, features=p.stem_width, kernel=p.kernel_sizes[0],
-                initial_stride=(1,) * p.dim, name="stem", **common,
+                initial_stride=(1,) * p.dim, name="stem",
+                emit_pre=stem_fuse, **common,
             )(x, train)
+            if isinstance(out, tuple):
+                yp, st = out
+                gc = yp.shape[-1]
+                g0 = gc // p.stem_width
+                cnt = yp.shape[1] * yp.shape[2] * yp.shape[3] * g0
+                pre0 = stats_to_scale_shift(st, g0, cnt, p.norm_eps)
+                x = yp.reshape(yp.shape[:3]
+                               + (yp.shape[3] * g0, p.stem_width))
+            else:
+                x = out
 
         skips: List[jax.Array] = []
-        residual_encoder = p.basic_encoder_block in ("BasicBlockD", "BottleneckBlockD")
         for s in range(p.num_stages):
             if residual_encoder:
                 bn = (p.bottleneck_channels[s]
@@ -201,8 +221,17 @@ class Encoder(nn.Module):
                     se_ratio=p.squeeze_excitation_reduction_ratio,
                     stochastic_depth_p=p.stochastic_depth_p,
                     name=f"stage{s}", **common,
-                )(x, train)
+                )(x, train, None, pre0 if s == 0 else None)
             else:
+                if s == 0 and pre0 is not None:
+                    # plain-conv encoder cannot consume the handoff
+                    gc = pre0[0].shape[-1]
+                    g0 = gc // x.shape[-1]
+                    xp0 = x.reshape(x.shape[:3]
+                                    + (x.shape[3] // g0, gc))
+                    x = norm_apply_packed(
+                        xp0, pre0[0], pre0[1], p.nonlin_negative_slope,
+                        act=True).reshape(x.shape)
                 x = StackedConvBlocks(
                     n_convs=p.n_blocks_per_stage[s],
                     features=p.features_per_stage[s],

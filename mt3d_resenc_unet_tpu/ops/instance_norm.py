@@ -119,15 +119,26 @@ def packed_stats_xla(xp) -> jax.Array:
 
 
 def norm_apply_packed(xp, inv, shift, negative_slope, act,
-                      residual=None):
+                      residual=None, residual_pre=None):
     """Elementwise ``leaky((xp * inv - shift) [+ residual])`` on a packed
     tensor with PRECOMPUTED per-lane vectors (N, g*C) — the residual-block
     tail pass of the fused pipeline (one read+write instead of stats +
-    apply)."""
+    apply).
+
+    ``residual_pre``: optional (scale, shift) pair applied to the residual
+    on the fly — ``residual = leaky(residual * scale - shift)`` — for the
+    stem handoff, where the block input is the RAW stem conv output and
+    the true (reference-semantics) residual is its normalized form. One
+    fused pass instead of materializing the normed stem tensor."""
     inv_t = inv.astype(xp.dtype)[:, None, None, None, :]
     shift_t = shift.astype(xp.dtype)[:, None, None, None, :]
     y = xp * inv_t - shift_t
     if residual is not None:
+        if residual_pre is not None:
+            ra, rb = residual_pre
+            r = (residual * ra.astype(residual.dtype)[:, None, None, None, :]
+                 - rb.astype(residual.dtype)[:, None, None, None, :])
+            residual = jnp.where(r >= 0, r, r * negative_slope)
         y = y + residual
     if act:
         y = jnp.where(y >= 0, y, y * negative_slope)
