@@ -140,7 +140,7 @@ def test_rolling_budget_covers_actual_peak_at_high_overlap(setup, tmp_path):
     eng = ZarrInferenceEngine(config_dict=cfg)
     eng.infer()
     est = eng._rolling_slab_bytes(eng.mgr.infer_output_targets,
-                                  (40, 40, 40), (16, 16, 16))
+                                  (40, 40, 40), (16, 16, 16), 0.6)
     assert 0 < eng.max_slab_bytes <= est
 
 
