@@ -334,6 +334,11 @@ def run_infer_e2e(patch, workdir, vol_shape=(512, 512, 512), batch=8):
 
 
 def main():
+    # repeat runs (and the e2e segments after the step bench) hit the
+    # persistent XLA cache instead of re-paying multi-minute compiles
+    from mt3d_resenc_unet_tpu.utils.compile_cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--patch", type=int, nargs=3, default=[128, 128, 128])
     p.add_argument("--batch", type=int, default=0, help="0 = auto-select")

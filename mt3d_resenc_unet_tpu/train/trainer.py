@@ -59,6 +59,8 @@ class Trainer:
     def __init__(self, config_file: Optional[str] = None, verbose: bool = True,
                  debug_dataloader: bool = False,
                  config_dict: Optional[Dict[str, Any]] = None):
+        from ..utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache()
         self.mgr = ConfigManager(config_file, config_dict, verbose=verbose)
         self.debug_dataloader = debug_dataloader
 
