@@ -338,7 +338,9 @@ def main():
     # persistent XLA cache instead of re-paying multi-minute compiles
     from mt3d_resenc_unet_tpu.utils.compile_cache import (
         enable_compilation_cache)
+    from mt3d_resenc_unet_tpu.utils.hostmem import retain_large_allocations
     enable_compilation_cache()
+    retain_large_allocations()
     p = argparse.ArgumentParser()
     p.add_argument("--patch", type=int, nargs=3, default=[128, 128, 128])
     p.add_argument("--batch", type=int, default=0, help="0 = auto-select")

