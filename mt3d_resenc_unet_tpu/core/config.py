@@ -92,6 +92,11 @@ class ConfigManager:
         # enabled by default on TPU backends, off elsewhere (CPU tests)
         self.use_pallas_conv: Optional[bool] = c.get("use_pallas_conv", None)
         self.remat: bool = bool(c.get("remat", True))
+        # compact wire format: samples cross host->device as stored dtypes
+        # (uint8 masks, uint16-encoded normals, bf16 image) and are decoded
+        # inside the jitted step — 2-4x fewer H2D bytes, bit-identical decode
+        # (data/dataset.py wire mode + train/step.py decode_wire)
+        self.wire_format: bool = bool(c.get("wire_format", True))
 
         # ---- dataset_config -------------------------------------------
         d = self.dataset_config
@@ -140,6 +145,19 @@ class ConfigManager:
         # memory-bounded but ~100x slower — inference.py:135-157).
         self.infer_host_ram_budget_gb: float = float(
             i.get("host_ram_budget_gb", 8.0))
+        # Whole-volume ON-DEVICE accumulation + finalize + quantize for
+        # volumes whose accumulators fit in HBM: only raw input bytes go up
+        # and quantized finals come down — the fast path on hosts with a slow
+        # device link (infer/engine.py _run_model_pass_device). "auto" uses
+        # it for single-process runs within the budget; true forces, false
+        # disables.
+        self.infer_device_accumulate = i.get("device_accumulate", "auto")
+        self.infer_device_accum_budget_gb: float = float(
+            i.get("device_accum_budget_gb", 6.0))
+        # device_accumulate writes only {tgt}_final by default; set
+        # write_sums to also persist {tgt}_sum/{tgt}_count for
+        # --postprocess_only reuse (always written by the host paths)
+        self.infer_write_sums: bool = bool(i.get("write_sums", False))
 
         # output targets: accept dict {name: {channels, activation}}, a list of
         # names (resolved against training targets), or the reference's quirky

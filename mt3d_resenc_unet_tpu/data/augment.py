@@ -325,9 +325,18 @@ def apply_geometric_ops(data: Dict[str, np.ndarray], ops,
         p = tuple(perm) + tuple(range(3, arr.ndim))
         v = arr.transpose(p)[sl]
         if key in normal_keys and arr.ndim == 4:
-            # signed component permutation fused into the gather copy
-            v = v[..., src] * sign
-            out[key] = np.ascontiguousarray(v, dtype=np.float32)
+            if arr.dtype == np.uint16:
+                # wire mode: normals stay uint16-ENCODED (u = (n+1)*32767.5,
+                # zio.py codec) through the host path; component negation is
+                # exact in encoded space: encode(-n) = 65535 - encode(n)
+                v = np.ascontiguousarray(v[..., src])
+                for j in np.nonzero(sign < 0)[0]:
+                    np.subtract(np.uint16(65535), v[..., j], out=v[..., j])
+                out[key] = v
+            else:
+                # signed component permutation fused into the gather copy
+                v = v[..., src] * sign
+                out[key] = np.ascontiguousarray(v, dtype=np.float32)
         else:
             out[key] = np.ascontiguousarray(v)
     return out
@@ -358,24 +367,38 @@ class AugmentationPipeline:
 
     def __call__(self, data: Dict[str, np.ndarray],
                  rng: np.random.Generator) -> Dict[str, np.ndarray]:
-        img = np.asarray(data["image"], dtype=np.float32)
+        img = np.asarray(data["image"])
         squeeze = img.ndim == 4 and img.shape[-1] == 1
-        vol = img[..., 0] if squeeze else img
+        # lazy decode: in wire mode the image arrives as its stored integer
+        # dtype and only pays the float conversion when an intensity op
+        # actually fires (P(no op) ~ 0.14 at the default gates); the rng draw
+        # order is IDENTICAL to eager application
+        vol = None
+
+        def _vol():
+            nonlocal vol
+            if vol is None:
+                from .zio import normalize_to_unit
+                x = (img if img.dtype == np.float32
+                     else normalize_to_unit(img, img.dtype))
+                vol = np.asarray(x[..., 0] if squeeze else x, np.float32)
+            return vol
 
         if rng.random() < self.p_intensity_1:
             fn = brightness_contrast if rng.random() < 0.5 else illumination
-            vol = fn(vol, rng)
+            vol = fn(_vol(), rng)
         if rng.random() < self.p_intensity_2:
             fn = multiplicative_noise if rng.random() < 0.5 else gaussian_noise
-            vol = fn(vol, rng)
+            vol = fn(_vol(), rng)
         if rng.random() < self.p_blur:
             fn = (motion_blur, defocus, downscale, advanced_blur)[int(rng.integers(0, 4))]
-            vol = fn(vol, rng)
+            vol = fn(_vol(), rng)
         if rng.random() < self.p_cutout:
-            vol = coarse_dropout_3d(vol, rng)
+            vol = coarse_dropout_3d(_vol(), rng)
 
         data = dict(data)
-        data["image"] = vol[..., None] if squeeze else vol
+        if vol is not None:
+            data["image"] = vol[..., None] if squeeze else vol
 
         if self.enable_geometric:
             # sample the op sequence with the SAME rng draw order as the

@@ -63,7 +63,7 @@ class ZarrPatchDataset:
 
     def __init__(self, mgr, *, augment: bool = True,
                  pipeline: Optional[AugmentationPipeline] = None,
-                 seed: int = 0):
+                 seed: int = 0, wire: bool = False):
         self.mgr = mgr
         self.patch_size = tuple(mgr.train_patch_size)
         self.tasks = mgr.tasks
@@ -71,6 +71,11 @@ class ZarrPatchDataset:
         self.augment = augment
         self.pipeline = pipeline or AugmentationPipeline()
         self.seed = seed
+        # wire mode: emit samples in their compact STORED dtypes (uint8
+        # masks, uint16-encoded normals, bf16 image) for cheap host->device
+        # transfer; the jitted step decodes on device (train/step.py
+        # decode_wire) with arithmetic identical to the host LUTs in zio.py
+        self.wire = wire
 
         self.volumes: List[VolumeEntry] = []
         for vol_idx, vol_info in enumerate(mgr.volume_paths):
@@ -109,45 +114,64 @@ class ZarrPatchDataset:
         return len(self.all_valid_patches)
 
     # ------------------------------------------------------------------
-    def _read_patch(self, vol: Volume, zyx, *, is_normals: bool) -> np.ndarray:
+    def _read_patch(self, vol: Volume, zyx, *, is_normals: bool,
+                    raw: bool = False) -> np.ndarray:
         z0, y0, x0 = zyx
         dz, dy, dx = self.patch_size
         shape = vol.shape
         if len(shape) == 3:
-            raw = vol[z0:z0 + dz, y0:y0 + dy, x0:x0 + dx]
+            data = vol[z0:z0 + dz, y0:y0 + dy, x0:x0 + dx]
         elif len(shape) == 4 and shape[-1] <= 8:
             # stored channels-last (Z, Y, X, C)
-            raw = vol[z0:z0 + dz, y0:y0 + dy, x0:x0 + dx, :]
+            data = vol[z0:z0 + dz, y0:y0 + dy, x0:x0 + dx, :]
         elif len(shape) == 4:
             # stored channels-first (C, Z, Y, X) -> to channels-last
-            raw = vol[:, z0:z0 + dz, y0:y0 + dy, x0:x0 + dx]
-            raw = np.moveaxis(raw, 0, -1)
+            data = vol[:, z0:z0 + dz, y0:y0 + dy, x0:x0 + dx]
+            data = np.moveaxis(data, 0, -1)
         else:
             raise ValueError(f"Unsupported volume rank: {shape}")
+        if raw:
+            return np.asarray(data)
         if is_normals:
-            return decode_normals(raw, vol.dtype)
-        return normalize_to_unit(raw, vol.dtype)
+            return decode_normals(data, vol.dtype)
+        return normalize_to_unit(data, vol.dtype)
 
     def get_raw(self, idx: int) -> Dict[str, np.ndarray]:
-        """Sample without augmentation; channels-last float32."""
+        """Sample without augmentation; channels-last float32 (or compact
+        stored dtypes in wire mode — uint8 masks, uint16-encoded normals)."""
         info = self.all_valid_patches[idx]
         entry = self.volumes[info["volume_idx"]]
         zyx = tuple(int(v) for v in info["start_pos"])
 
-        img = self._read_patch(entry.input, zyx, is_normals=False)
+        wire = self.wire
+        img = self._read_patch(
+            entry.input, zyx, is_normals=False,
+            raw=wire and entry.input.dtype in (np.uint8, np.uint16))
         if img.ndim == 3:
             img = img[..., None]
         data: Dict[str, np.ndarray] = {"image": img}
 
         for task_name, tvol in entry.targets.items():
             is_normals = task_name.lower() == "normals"
-            t = self._read_patch(tvol, zyx, is_normals=is_normals)
+            # wire-eligible targets keep their stored integer dtype; the
+            # device decode (u8/255, u16/65535, normals u16/32767.5-1) is
+            # arithmetic-identical to the zio.py host LUTs
+            raw = wire and (
+                (is_normals and tvol.dtype == np.uint16) or
+                (not is_normals and not self.dilate_label
+                 and tvol.dtype in (np.uint8, np.uint16)))
+            t = self._read_patch(tvol, zyx, is_normals=is_normals, raw=raw)
             if not is_normals:
                 if self.dilate_label:
                     t = dilate_binary(t > 0)
+                    if wire:
+                        # {0,1} floats -> uint8 {0,255}: /255 decodes exactly
+                        t = (t > 0.5).astype(np.uint8) * np.uint8(255)
                 if t.ndim == 3:
                     t = t[..., None]
-            data[task_name] = np.asarray(t, dtype=np.float32)
+            if not raw and t.dtype != np.uint8:
+                t = np.asarray(t, dtype=np.float32)
+            data[task_name] = t
         return data
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
@@ -156,6 +180,17 @@ class ZarrPatchDataset:
             rng = np.random.default_rng(
                 np.random.SeedSequence([self.seed, idx, len(self)]))
             data = self.pipeline(data, rng)
+        if self.wire:
+            out = {}
+            for k, v in data.items():
+                if k == "image" and v.dtype in (np.float32, np.float64):
+                    # the model computes in bf16 anyway: casting on host is
+                    # bit-identical to the stem's own input cast, at half
+                    # the transfer bytes
+                    import ml_dtypes
+                    v = np.asarray(v, dtype=ml_dtypes.bfloat16)
+                out[k] = np.ascontiguousarray(v)
+            return out
         return {k: np.ascontiguousarray(v, dtype=np.float32)
                 for k, v in data.items()}
 

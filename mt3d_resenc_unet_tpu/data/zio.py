@@ -197,7 +197,11 @@ def decode_normals(data: np.ndarray, dtype: np.dtype) -> np.ndarray:
     global _NORMALS_LUT
     if dtype == np.uint16:
         if _NORMALS_LUT is None:
-            _NORMALS_LUT = (
-                np.arange(65536, dtype=np.float32) / NORMALS_SCALE - 1.0)
+            # (u - 32767.5) / 32767.5 == u/32767.5 - 1 exactly in real
+            # arithmetic; this grouping makes fp32 NEGATION exact in encoded
+            # space (decode(65535 - u) == -decode(u) bit-for-bit), which the
+            # wire-format geometric flips rely on (data/augment.py)
+            _NORMALS_LUT = ((np.arange(65536, dtype=np.float32)
+                             - NORMALS_SCALE) / NORMALS_SCALE)
         return _NORMALS_LUT[data]
     return data.astype(np.float32) * 2.0 - 1.0

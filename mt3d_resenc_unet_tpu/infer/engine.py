@@ -249,15 +249,17 @@ class ZarrInferenceEngine:
         store_path = os.path.join(mgr.infer_output_path, "predictions.zarr")
         targets = mgr.infer_output_targets
 
+        postprocess_done = False
         if not self.postprocess_only:
-            self._run_model_pass(store_path, targets)
+            postprocess_done = bool(self._run_model_pass(store_path, targets))
 
         # every process must have written its tiles before postprocessing;
         # one writer finalizes (the sums are a single shared store)
         sync_global_devices("infer_model_pass_done")
         if is_main_process():
-            finalize_overlaps(store_path, targets)
-            quantize_final(store_path, targets)
+            if not postprocess_done:  # device-accum mode already wrote finals
+                finalize_overlaps(store_path, targets)
+                quantize_final(store_path, targets)
             if self.write_layers:
                 export_z_slices(store_path, targets, mgr.infer_output_path)
         sync_global_devices("infer_postprocess_done")
@@ -370,15 +372,47 @@ class ZarrInferenceEngine:
             total += (c + 1) * rows * y * x * 4
         return total
 
+    def _device_accum_bytes(self, targets, in_shape) -> int:
+        """HBM bytes of the on-device accumulators: per-target f32 sums +
+        one shared f32 weight volume."""
+        n = int(np.prod(in_shape))
+        total = n * 4
+        for info in targets.values():
+            total += int(info["channels"]) * n * 4
+        return total
+
     def _run_model_pass(self, store_path: str, targets: Dict[str, Dict]):
-        """Dispatch: full-plane rolling accumulation when the slab fits the
-        host-RAM budget; disjoint (z, y-band) tiles otherwise (and always in
-        --resume mode, whose watermark is tile-granular)."""
+        """Dispatch, fastest first:
+
+        * whole-volume ON-DEVICE accumulation when the f32 accumulators fit
+          the HBM budget (single-process; raw input bytes up, quantized
+          finals down — built for hosts whose device link is slow);
+        * full-plane rolling host accumulation when the slab fits host RAM;
+        * disjoint (z, y-band) tiles otherwise (and always in --resume mode,
+          whose watermark is tile-granular)."""
         mgr = self.mgr
         budget = int(mgr.infer_host_ram_budget_gb * 2 ** 30)
         input_vol = open_zarr(mgr.infer_input_path)
         in_shape = input_vol.shape[-3:]
         patch = tuple(mgr.infer_patch_size)
+        dev_mode = mgr.infer_device_accumulate
+        # "auto" engages only on TPU backends (the mode trades host work for
+        # HBM + link bytes; on CPU the "device" IS the host) within the HBM
+        # budget; True forces it anywhere (tests)
+        dev_ok = not self.resume and jax.process_count() == 1 and (
+            dev_mode is True or (
+                dev_mode == "auto"
+                and jax.default_backend() == "tpu"
+                and self._device_accum_bytes(targets, in_shape)
+                <= mgr.infer_device_accum_budget_gb * 2 ** 30))
+        if dev_ok:
+            try:
+                return self._run_model_pass_device(store_path, targets)
+            except jax.errors.JaxRuntimeError as e:
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                print("[infer] device accumulation OOM; falling back to "
+                      "host accumulation")
         # multi-process runs always tile: tiles partition cleanly across
         # processes, while the rolling z-sweep is inherently sequential
         needs_tiles = (self.resume or jax.process_count() > 1 or
@@ -388,6 +422,214 @@ class ZarrInferenceEngine:
         if needs_tiles:
             return self._run_model_pass_tiled(store_path, targets, budget)
         return self._run_model_pass_rolling(store_path, targets)
+
+    def _run_model_pass_device(self, store_path: str,
+                               targets: Dict[str, Dict]) -> bool:
+        """Whole-volume accumulation in HBM: forward, Gaussian weighting,
+        overlap scatter-add, finalize (average / renormalize) and
+        quantization ALL run on one device; the host only ships raw input
+        patches up (stored dtype — 4x fewer bytes than f32) and the
+        quantized ``{tgt}_final`` arrays down.
+
+        Replaces the reference's per-patch zarr read-modify-write + host
+        postprocess (reference: inference.py:135-263) with a fully
+        device-resident pipeline — on a tunneled/weak TPU host the f32
+        output fetch alone (4 channels x 128^3 x 4B per patch) costs more
+        wall-clock than the forward itself.
+
+        Returns True: finals are written and postprocess is already done
+        (unless ``write_sums`` asked for host-side postprocess artifacts, in
+        which case raw sums/counts are persisted and False is returned so
+        the normal finalize/quantize pass runs).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+        mgr = self.mgr
+        plan, model = self._build_model()
+        params = self._load_params(model, plan)
+        dev = jax.local_devices()[0]
+        params = jax.device_put(params, dev)
+
+        input_vol = open_zarr(mgr.infer_input_path)
+        in_shape = tuple(input_vol.shape[-3:])
+        patch = tuple(mgr.infer_patch_size)
+        positions = sliding_window_grid(in_shape, patch, mgr.infer_overlap)
+        positions.sort()
+        if mgr.infer_gaussian_blend:
+            wmap = gaussian_map(patch, mgr.infer_gaussian_sigma_scale)
+        else:
+            wmap = uniform_map(patch)
+        wmap_dev = jax.device_put(jnp.asarray(wmap), dev)
+
+        if os.path.isdir(store_path):
+            raise FileExistsError(
+                f"Zarr store '{store_path}' already exists. "
+                "Aborting to prevent overwrite (pass --resume to continue "
+                "an interrupted run).")
+
+        in_dtype = np.dtype(input_vol.dtype)
+        standardize_on = mgr.infer_normalization == "standardize"
+        names = list(targets)
+        chans = {n: int(targets[n]["channels"]) for n in names}
+
+        def decode(raw):
+            x = raw.astype(jnp.float32)
+            if in_dtype == np.uint8:
+                x = x / 255.0
+            elif in_dtype == np.uint16:
+                x = x / 65535.0
+            if standardize_on:
+                ax = tuple(range(1, x.ndim))
+                mean = jnp.mean(x, axis=ax, keepdims=True)
+                std = jnp.std(x, axis=ax, keepdims=True)
+                x = (x - mean) / jnp.maximum(std, 1e-10)
+            return x[..., None]
+
+        def step(params, sums, wsum, raw_batch, pos, valid):
+            x = decode(raw_batch)
+            outs = model.apply({"params": params}, x, train=False)
+            weighted = {n: outs[n].astype(jnp.float32)
+                        * wmap_dev[None, ..., None] for n in names}
+
+            def body(carry, inp):
+                sums, wsum = carry
+                i = inp
+                z, y, x0 = pos[i, 0], pos[i, 1], pos[i, 2]
+                v = valid[i].astype(jnp.float32)
+                for n in names:
+                    blk = jax.lax.dynamic_slice(
+                        sums[n], (z, y, x0, 0), patch + (chans[n],))
+                    blk = blk + weighted[n][i] * v
+                    sums = dict(sums)
+                    sums[n] = jax.lax.dynamic_update_slice(
+                        sums[n], blk, (z, y, x0, 0))
+                wblk = jax.lax.dynamic_slice(wsum, (z, y, x0), patch)
+                wsum = jax.lax.dynamic_update_slice(
+                    wsum, wblk + wmap_dev * v, (z, y, x0))
+                return (sums, wsum), None
+
+            (sums, wsum), _ = jax.lax.scan(
+                body, (sums, wsum), jnp.arange(raw_batch.shape[0]))
+            return sums, wsum
+
+        step_j = jax.jit(step, donate_argnums=(1, 2))
+
+        def finalize(sums, wsum):
+            """Device mirror of native.finalize_average /
+            renormalize_vectors + quantize_u8 / encode_normals_u16
+            (native/hostops.cpp:70-121): average (or unit-renormalize
+            normals) where weight > 0, then truncate-quantize."""
+            finals = {}
+            covered = wsum > 0.0
+            for n in names:
+                s = sums[n]
+                if n.lower() == "normals" and chans[n] == 3:
+                    mag = jnp.sqrt(jnp.sum(s * s, axis=-1, keepdims=True))
+                    mag = jnp.maximum(mag, 1e-30)
+                    v = jnp.where(covered[..., None], s / mag, s)
+                    q = jnp.clip((v + 1.0) * 32767.5, 0.0, 65535.0)
+                    finals[n] = q.astype(jnp.uint16)
+                else:
+                    inv = jnp.where(covered, 1.0 / jnp.where(covered, wsum,
+                                                             1.0), 0.0)
+                    a = s * inv[..., None]
+                    q = jnp.clip(a * 255.0, 0.0, 255.0)
+                    finals[n] = q.astype(jnp.uint8)
+            return finals
+
+        finalize_j = jax.jit(finalize, donate_argnums=(0,))
+
+        sums = {n: jax.device_put(
+            jnp.zeros(in_shape + (chans[n],), jnp.float32), dev)
+            for n in names}
+        wsum = jax.device_put(jnp.zeros(in_shape, jnp.float32), dev)
+
+        batch_size = mgr.infer_batch_size
+        n = len(positions)
+        n_batches = (n + batch_size - 1) // batch_size
+        pos_arr = np.asarray(positions, np.int32)
+
+        def make_batch(b):
+            bp = positions[b * batch_size:(b + 1) * batch_size]
+            raws = []
+            for (z, y, x0) in bp:
+                raw = input_vol[z:z + patch[0], y:y + patch[1],
+                                x0:x0 + patch[2]]
+                if raw.ndim > 3:
+                    raw = raw.reshape(raw.shape[-3:])
+                raws.append(raw)
+            k = len(raws)
+            while len(raws) < batch_size:
+                raws.append(raws[-1])
+            pos = np.zeros((batch_size, 3), np.int32)
+            pos[:k] = pos_arr[b * batch_size:b * batch_size + k]
+            valid = np.zeros((batch_size,), np.int32)
+            valid[:k] = 1
+            return np.stack(raws), pos, valid
+
+        done = 0
+        with ThreadPoolExecutor(
+                max_workers=max(1, mgr.infer_num_dataloader_workers)) as pool:
+            window = 3
+            futs = {b: pool.submit(make_batch, b)
+                    for b in range(min(window, n_batches))}
+            for b in range(n_batches):
+                raw_b, pos_b, valid_b = futs.pop(b).result()
+                nxt = b + window
+                if nxt < n_batches:
+                    futs[nxt] = pool.submit(make_batch, nxt)
+                sums, wsum = step_j(params, sums, wsum,
+                                    jax.device_put(raw_b, dev),
+                                    jax.device_put(pos_b, dev),
+                                    jax.device_put(valid_b, dev))
+                done += int(valid_b.sum())
+                if b % 20 == 0:
+                    print(f"[infer] {done}/{n} patches (device accum)")
+
+        if mgr.infer_write_sums:
+            # persist raw sums/counts for --postprocess_only reuse and let
+            # the standard host finalize/quantize produce the finals
+            for name in names:
+                c = chans[name]
+                sum_vol, cnt_vol = _create_sum_count(store_path, name, c,
+                                                     in_shape, patch)
+                host_sum = np.asarray(jax.device_get(
+                    jnp.moveaxis(sums[name], -1, 0) if c > 1
+                    else sums[name][..., 0]))
+                sum_vol[...] = host_sum
+                cnt_vol[...] = np.asarray(jax.device_get(wsum))
+            print(f"[infer] model pass complete (device accum, sums "
+                  f"persisted): {n} patches -> {store_path}")
+            return False
+
+        finals = finalize_j(sums, wsum)
+        os.makedirs(store_path, exist_ok=True)
+        for name in names:
+            c = chans[name]
+            q = finals[name]
+            if c > 1:
+                q = jnp.moveaxis(q, -1, 0)
+                out_shape: Tuple[int, ...] = (c,) + in_shape
+                chunk: Tuple[int, ...] = (c,) + patch
+            else:
+                q = q[..., 0]
+                out_shape = in_shape
+                chunk = patch
+            host_q = np.asarray(jax.device_get(q))
+            final_vol = create_zarr(
+                os.path.join(store_path, f"{name}_final"), out_shape,
+                host_q.dtype, chunk, compressor=DEFAULT_COMPRESSOR,
+                delete_existing=True)
+            final_vol[...] = host_q
+            # mark finalized so --postprocess_only / standalone finalize
+            # treat the store as already averaged
+            with open(os.path.join(store_path, f".finalized_{name}"),
+                      "w") as f:
+                f.write("finalized on device\n")
+        with open(os.path.join(store_path, ".finalized"), "w") as f:
+            f.write("finalized on device\n")
+        print(f"[infer] model pass + finalize + quantize complete (device "
+              f"accum): {n} patches -> {store_path}")
+        return True
 
     def _run_model_pass_rolling(self, store_path: str,
                                 targets: Dict[str, Dict]):
@@ -720,7 +962,18 @@ def quantize_final(store_path: str, targets: Dict[str, Dict]) -> None:
     ([-1,1] -> 32767.5 codec), uint8 otherwise ([0,1] -> 255)
     (reference: inference.py:212-263; codec unified per SURVEY.md §2.6.8)."""
     for name, info in targets.items():
-        sum_vol = open_zarr(os.path.join(store_path, f"{name}_sum"))
+        sum_path = os.path.join(store_path, f"{name}_sum")
+        if not zarr_exists(sum_path):
+            if zarr_exists(os.path.join(store_path, f"{name}_final")):
+                # device-accumulated store: finals were quantized on device
+                # and no sums persisted (inference_config.write_sums)
+                print(f"[infer] '{name}': no sums in store but finals "
+                      f"present (device-accumulated run); nothing to do")
+                continue
+            raise FileNotFoundError(
+                f"{sum_path} missing — the store has neither sums nor "
+                f"finals for target '{name}'")
+        sum_vol = open_zarr(sum_path)
         is_normals = name.lower() == "normals"
         final_dtype = np.uint16 if is_normals else np.uint8
         # overwrite any previous final dataset: postprocess-only reruns

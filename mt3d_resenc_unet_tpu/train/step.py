@@ -71,6 +71,36 @@ def build_optimizer(
     return optax.chain(optax.clip_by_global_norm(grad_clip_norm), opt)
 
 
+def decode_wire(batch: Mapping[str, jax.Array],
+                normal_keys: Tuple[str, ...] = ("normals",),
+                upcast_bf16: bool = False) -> Dict[str, jax.Array]:
+    """Decode a compact 'wire format' batch on device.
+
+    The dataset's wire mode (data/dataset.py) ships samples host->device in
+    their stored dtypes — uint8 masks, uint16-encoded normals, bf16 images —
+    cutting H2D bytes 2-4x on hosts where the transfer link is the training
+    bottleneck. This decode reproduces the host LUT arithmetic of
+    data/zio.py bit-for-bit in fp32 (u8/255, u16/65535, normals
+    u/32767.5 - 1; reference codecs: dataloading/dataset.py:125-131,147-155).
+    Float arrays pass through, so non-wire batches are unchanged.
+    """
+    out = {}
+    for k, v in batch.items():
+        if v.dtype == jnp.uint16 and k in normal_keys:
+            # grouping matches the zio.py host LUT bit-for-bit (and makes
+            # encoded-space negation exact — see decode_normals)
+            out[k] = (v.astype(jnp.float32) - 32767.5) / 32767.5
+        elif v.dtype == jnp.uint16:
+            out[k] = v.astype(jnp.float32) / 65535.0
+        elif v.dtype == jnp.uint8:
+            out[k] = v.astype(jnp.float32) / 255.0
+        elif upcast_bf16 and v.dtype == jnp.bfloat16:
+            out[k] = v.astype(jnp.float32)
+        else:
+            out[k] = v
+    return out
+
+
 def _downsample_target(t: jax.Array, factor: Tuple[int, ...]) -> jax.Array:
     """Strided subsampling of a target for deep supervision. Handles both
     channel-last dense targets ``(N, *spatial, C)`` and channel-less integer
@@ -136,8 +166,12 @@ def make_train_step(
     """
     loss_fns = dict(loss_fns)
     task_weights = dict(task_weights)
+    normal_keys = tuple(k for k in loss_fns if k.lower() == "normals")
 
     def loss_for_micro(params, micro, rng):
+        # wire-format decode happens per-microbatch INSIDE the scan so the
+        # fp32 expansion never materializes for the whole accumulated batch
+        micro = decode_wire(micro, normal_keys)
         d_rng, p_rng = jax.random.split(rng)
         outputs = model.apply(
             {"params": params}, micro["image"], train=True,
@@ -214,8 +248,10 @@ def make_eval_step(
     but with activations suppressed, so losses see logits exactly as in
     training)."""
     loss_fns = dict(loss_fns)
+    normal_keys = tuple(k for k in loss_fns if k.lower() == "normals")
 
     def eval_step(params, batch):
+        batch = decode_wire(batch, normal_keys)
         outputs = model.apply({"params": params}, batch["image"],
                               train=False, apply_activations=False)
         targets = {k: v for k, v in batch.items() if k != "image"}
@@ -259,6 +295,7 @@ def make_predict_step(model) -> Callable[[Any, jax.Array], Dict[str, jax.Array]]
     forward in eval: build_network_from_config.py:321-323)."""
 
     def predict(params, image):
+        image = decode_wire({"image": image})["image"]
         outs = model.apply({"params": params}, image, train=False)
         # deep supervision: expose only the full-resolution head
         return {k: (v[0] if isinstance(v, (list, tuple)) else v)

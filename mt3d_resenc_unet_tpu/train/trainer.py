@@ -78,7 +78,8 @@ class Trainer:
         )
 
     def _configure_dataset(self) -> ZarrPatchDataset:
-        return ZarrPatchDataset(self.mgr, seed=self.mgr.seed)
+        return ZarrPatchDataset(self.mgr, seed=self.mgr.seed,
+                                wire=self.mgr.wire_format)
 
     def _build_loss(self):
         return build_task_losses(self.mgr.tasks, self.mgr.ignore_label,
@@ -358,13 +359,18 @@ class Trainer:
                 return out
             try:
                 preds = predict_step(state.params, first_batch["image"])
+                # wire-format batches carry compact dtypes; decode for the
+                # float-consuming visualization path
+                from .step import decode_wire
+                viz_batch = jax.device_get(decode_wire(
+                    first_batch, upcast_bf16=True))
                 for t in mgr.tasks:
                     log_3d_slices_as_images(
                         writer, f"val/{t}_pred", np.asarray(preds[t]), epoch,
                         is_normals=t.lower() == "normals")
                 save_debug_gif(
-                    input_volume=np.asarray(first_batch["image"]),
-                    targets_dict={t: np.asarray(first_batch[t])
+                    input_volume=np.asarray(viz_batch["image"]),
+                    targets_dict={t: np.asarray(viz_batch[t])
                                   for t in mgr.tasks},
                     outputs_dict={t: np.asarray(preds[t]) for t in mgr.tasks},
                     tasks_dict=mgr.tasks,
