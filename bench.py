@@ -265,7 +265,12 @@ def run_train_e2e(batch, patch, steps_per_epoch, epochs, workdir,
         },
         "inference_config": {},
     }
-    out = Trainer(config_dict=cfg, verbose=False).train()
+    cwd = os.getcwd()
+    os.chdir(workdir)  # {model_name}_final / debug gif are CWD artifacts
+    try:
+        out = Trainer(config_dict=cfg, verbose=False).train()
+    finally:
+        os.chdir(cwd)
     # first epoch pays compilation; report the later epochs' sustained rate
     rates = [h["train/patches_per_sec"] for h in out["history"]]
     return max(rates[1:]) if len(rates) > 1 else rates[0]

@@ -44,8 +44,10 @@ from ..data.zio import (
     zarr_exists,
 )
 from ..models.network import ResEncUNet
-from ..train.checkpoint import load_params_any, merge_params_nonstrict
+from ..train.checkpoint import (load_params_any, merge_params_lazy,
+                                merge_params_nonstrict)
 from ..utils import native
+from ..utils.compile_cache import prelower
 from .gaussian import gaussian_map, uniform_map
 
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
@@ -223,23 +225,30 @@ class ZarrInferenceEngine:
 
     def _load_params(self, model, plan):
         patch = tuple(self.mgr.infer_patch_size)
-        sample = jnp.zeros((1,) + patch + (plan.in_channels,), jnp.float32)
-        fresh = jax.jit(lambda: model.init(
-            {"params": jax.random.key(0)}, sample, train=False))()["params"]
+        sample = jax.ShapeDtypeStruct((1,) + patch + (plan.in_channels,),
+                                      jnp.float32)
+        # structure only — no device compute, no param fetch
+        abs_fresh = jax.eval_shape(
+            lambda s: model.init({"params": jax.random.key(0)}, s,
+                                 train=False), sample)["params"]
         ckpt_path = self.mgr.infer_checkpoint_path or self.mgr.checkpoint_path
         if ckpt_path is None:
             raise ValueError("inference requires a checkpoint_path")
-        fresh_host = jax.device_get(fresh)
         restored = load_params_any(ckpt_path)
+
+        def init_fn():
+            x = jnp.zeros(sample.shape, sample.dtype)
+            return jax.jit(lambda: model.init(
+                {"params": jax.random.key(0)}, x, train=False))()["params"]
+
+        merged, stats = merge_params_lazy(abs_fresh, restored, init_fn)
         if self.mgr.load_strict:
-            merged, stats = merge_params_nonstrict(fresh_host, restored)
             if stats["kept_fresh"] or stats["shape_mismatch"]:
                 raise ValueError(
                     f"strict load failed: {stats} (set load_strict: false "
                     f"for partial/multi-task reuse)")
-            return jax.device_put(merged)
-        merged, stats = merge_params_nonstrict(fresh_host, restored)
-        print(f"[infer] non-strict load: {stats}")
+        else:
+            print(f"[infer] non-strict load: {stats}")
         return jax.device_put(merged)
 
     # ------------------------------------------------------------------
@@ -331,6 +340,9 @@ class ZarrInferenceEngine:
                     * wmap_dev[None, ..., None] for name in targets}
 
         fwd_j = jax.jit(fwd)
+        # abstract-aval trace: process-stable persistent cache key
+        prelower(fwd_j, params,
+                 np.zeros((batch_size,) + patch + (1,), np.float32))
 
         def forward(params, host_batch):
             batch = jnp.asarray(host_batch) if bsh is None \
@@ -443,11 +455,19 @@ class ZarrInferenceEngine:
         the normal finalize/quantize pass runs).
         """
         from concurrent.futures import ThreadPoolExecutor
+        import time as _time
+        _t0 = _time.perf_counter()
+        _phase = {}
         mgr = self.mgr
         plan, model = self._build_model()
+        _phase["build"] = _time.perf_counter() - _t0
         params = self._load_params(model, plan)
+        _phase["load_params"] = (_time.perf_counter() - _t0
+                                 - _phase["build"])
         dev = jax.local_devices()[0]
         params = jax.device_put(params, dev)
+        jax.block_until_ready(params)
+        _phase["setup"] = _time.perf_counter() - _t0
 
         input_vol = open_zarr(mgr.infer_input_path)
         in_shape = tuple(input_vol.shape[-3:])
@@ -567,6 +587,27 @@ class ZarrInferenceEngine:
             return np.stack(raws), pos, valid
 
         done = 0
+        _tp = _time.perf_counter()
+        # abstract-aval trace first: process-stable persistent cache key
+        # (utils/compile_cache.prelower)
+        _prof = os.environ.get("MT3D_PROFILE_PRELOWER")
+        if _prof:
+            import cProfile
+            _pr = cProfile.Profile()
+            _pr.enable()
+        prelower(step_j, params, sums, wsum,
+                 np.zeros((batch_size,) + patch, in_dtype),
+                 np.zeros((batch_size, 3), np.int32),
+                 np.zeros((batch_size,), np.int32))
+        if _prof:
+            _pr.disable()
+            _pr.dump_stats(_prof)
+        _phase["prelower_step"] = _time.perf_counter() - _tp
+        _tp = _time.perf_counter()
+        prelower(finalize_j, sums, wsum)
+        _phase["prelower_fin"] = _time.perf_counter() - _tp
+        _t1 = _time.perf_counter()
+        _phase["alloc"] = _t1 - _t0 - _phase["setup"]
         with ThreadPoolExecutor(
                 max_workers=max(1, mgr.infer_num_dataloader_workers)) as pool:
             window = 3
@@ -581,9 +622,15 @@ class ZarrInferenceEngine:
                                     jax.device_put(raw_b, dev),
                                     jax.device_put(pos_b, dev),
                                     jax.device_put(valid_b, dev))
+                if b == 0:
+                    jax.block_until_ready(wsum)
+                    _phase["first_step"] = _time.perf_counter() - _t1
                 done += int(valid_b.sum())
                 if b % 20 == 0:
                     print(f"[infer] {done}/{n} patches (device accum)")
+            jax.block_until_ready(wsum)
+        _phase["loop"] = (_time.perf_counter() - _t1
+                          - _phase.get("first_step", 0.0))
 
         if mgr.infer_write_sums:
             # persist raw sums/counts for --postprocess_only reuse and let
@@ -601,7 +648,11 @@ class ZarrInferenceEngine:
                   f"persisted): {n} patches -> {store_path}")
             return False
 
+        _t2 = _time.perf_counter()
         finals = finalize_j(sums, wsum)
+        jax.block_until_ready(finals)
+        _phase["finalize"] = _time.perf_counter() - _t2
+        _t3 = _time.perf_counter()
         os.makedirs(store_path, exist_ok=True)
         for name in names:
             c = chans[name]
@@ -627,6 +678,9 @@ class ZarrInferenceEngine:
                 f.write("finalized on device\n")
         with open(os.path.join(store_path, ".finalized"), "w") as f:
             f.write("finalized on device\n")
+        _phase["fetch_write"] = _time.perf_counter() - _t3
+        print("[infer] device-accum phases: " + ", ".join(
+            f"{k}={v:.1f}s" for k, v in _phase.items()))
         print(f"[infer] model pass + finalize + quantize complete (device "
               f"accum): {n} patches -> {store_path}")
         return True

@@ -151,6 +151,37 @@ def merge_params_nonstrict(fresh, loaded) -> Tuple[Any, Dict[str, int]]:
     return _unflatten(out), stats
 
 
+def merge_params_lazy(abs_fresh, loaded, init_fn) -> Tuple[Any, Dict[str, int]]:
+    """``merge_params_nonstrict`` against an ABSTRACT fresh tree (from
+    ``jax.eval_shape`` of ``model.init``). Checkpoint leaves with matching
+    shapes are used directly on host; only genuinely missing / mismatched
+    leaves materialize initializer values — ``init_fn()`` runs once (on
+    device) and ONLY those leaves are fetched. This avoids initializing and
+    then ``device_get``-ing the full fresh tree, which for the flagship is
+    ~1 GB over a ~10 MB/s tunneled D2H link (~100 s measured 2026-08-18)."""
+    stats = {"restored": 0, "kept_fresh": 0, "shape_mismatch": 0}
+    fresh_flat = _flatten(abs_fresh)
+    loaded_flat = _flatten(loaded)
+    out: Dict[Any, Any] = {}
+    missing = []
+    for key, aval in fresh_flat.items():
+        lval = loaded_flat.get(key)
+        if lval is not None and tuple(np.shape(lval)) == tuple(aval.shape):
+            out[key] = np.asarray(lval, dtype=aval.dtype)
+            stats["restored"] += 1
+        else:
+            missing.append(key)
+            if lval is None:
+                stats["kept_fresh"] += 1
+            else:
+                stats["shape_mismatch"] += 1
+    if missing:
+        fresh_real = _flatten(init_fn())
+        for key in missing:
+            out[key] = np.asarray(jax.device_get(fresh_real[key]))
+    return _unflatten(out), stats
+
+
 def _flatten(tree, prefix=()):
     flat = {}
     if isinstance(tree, dict):

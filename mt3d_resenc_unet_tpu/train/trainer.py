@@ -34,6 +34,7 @@ from ..models.network import ResEncUNet, count_params
 from ..parallel.distributed import (global_mesh, is_main_process,
                                     process_batch_slice, sync_global_devices)
 from ..parallel.mesh import make_mesh, pad_batch_to_devices, replicate
+from ..utils.compile_cache import prelower
 from .checkpoint import CheckpointManager, merge_params_nonstrict, save_params
 from .losses import build_task_losses
 from .metrics import MetricsWriter
@@ -65,6 +66,8 @@ class Trainer:
         retain_large_allocations()
         self.mgr = ConfigManager(config_file, config_dict, verbose=verbose)
         self.debug_dataloader = debug_dataloader
+        self._prelowered = False
+        self._prelowered_eval = False
 
     # ------------------------------------------------------------- builders
     def _build_plan(self) -> NetworkPlan:
@@ -225,6 +228,11 @@ class Trainer:
                 # (tracing/profiling is absent in the reference, SURVEY.md §5.1)
                 if profile_dir and epoch == start_epoch and steps == 3:
                     jax.profiler.start_trace(profile_dir)
+                if not self._prelowered:
+                    # abstract-aval trace first: process-stable persistent
+                    # cache key (see utils/compile_cache.prelower)
+                    prelower(train_step, state, batch)
+                    self._prelowered = True
                 state, metrics = train_step(state, batch)
                 steps += 1
                 if profile_dir and epoch == start_epoch and steps == 6:
@@ -335,6 +343,9 @@ class Trainer:
                     batch_iterator(dataset, idx, host_bs, drop_last=False,
                                    num_threads=mgr.train_num_dataloader_workers),
                     mesh, mgr.dp_axis):
+                if not self._prelowered_eval:
+                    prelower(eval_step, state.params, batch)
+                    self._prelowered_eval = True
                 m = eval_step(state.params, batch)
                 for key, v in m.items():
                     running[key] = running.get(key, 0.0) + float(v)
