@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
+from mt3d_resenc_unet_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def run_and_trace(mode, batch, patch, steps, tracedir):
     from bench import build, flagship_plan
