@@ -258,7 +258,12 @@ def run_train_e2e(batch, patch, steps_per_epoch, epochs, workdir,
         "tr_config": {"optimizer": "AdamW", "initial_lr": 1e-3,
                       "patch_size": list(patch), "batch_size": batch,
                       "max_steps_per_epoch": steps_per_epoch,
-                      "max_val_steps_per_epoch": 1, "max_epoch": epochs,
+                      # 0 val steps: skips validation AND its two extra cold
+                      # compiles (eval fwd + predict fwd) — each is minutes
+                      # on the tunnel and the bench reports only the train
+                      # rate; the validation path is exercised by the e2e
+                      # tests (test_train_e2e) instead
+                      "max_val_steps_per_epoch": 0, "max_epoch": epochs,
                       "num_dataloader_workers": 8},
         "model_config": {},
         "dataset_config": {
