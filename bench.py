@@ -253,6 +253,10 @@ def run_train_e2e(batch, patch, steps_per_epoch, epochs, workdir,
         "tr_setup": {"model_name": "bench_e2e", "autoconfigure": True,
                      "tr_val_split": 0.95,
                      "ckpt_out_base": os.path.join(workdir, "ck"),
+                     # no per-epoch checkpoints: each is a ~2.8G fp32
+                     # device_get + orbax write (tens of seconds on the
+                     # tunnel) that the 480s segment budget cannot afford
+                     "ckpt_interval_epochs": 0,
                      "tensorboard_log_dir": os.path.join(workdir, "lg"),
                      "seed": 0},
         "tr_config": {"optimizer": "AdamW", "initial_lr": 1e-3,

@@ -66,6 +66,10 @@ class ConfigManager:
         self.tensorboard_log_dir: str = t.get("tensorboard_log_dir", "./tensorboard_logs/")
         self.seed: int = int(t.get("seed", 0))
         self.ckpt_keep: int = int(t.get("ckpt_keep", 10))
+        # save a checkpoint every N epochs; 0 disables per-epoch checkpoints
+        # (the final weights dump still happens). Default 1 = the reference's
+        # checkpoint-every-epoch behavior (reference: train.py:249-254).
+        self.ckpt_interval_epochs: int = int(t.get("ckpt_interval_epochs", 1))
 
         # ---- tr_config -----------------------------------------------
         c = self.tr_configs

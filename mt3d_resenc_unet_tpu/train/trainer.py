@@ -265,8 +265,14 @@ class Trainer:
                       f" | {epoch_means['train/patches_per_sec']:.2f} patches/s")
 
             # ---- checkpoint (keep-N GC handled by orbax) ----
-            # params/opt_state are replicated: process 0 is the only writer
-            if main:
+            # params/opt_state are replicated: process 0 is the only writer;
+            # ckpt_interval_epochs=0 disables per-epoch saves (a device_get
+            # of the full fp32 state is expensive on tunneled hosts), >1
+            # saves every Nth epoch plus always the last
+            interval = mgr.ckpt_interval_epochs
+            due = interval > 0 and ((epoch + 1) % interval == 0
+                                    or epoch == mgr.max_epoch - 1)
+            if main and due:
                 ckpt.save(epoch, {
                     "params": jax.device_get(state.params),
                     "opt_state": jax.device_get(state.opt_state),

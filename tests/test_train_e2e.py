@@ -128,3 +128,33 @@ def test_debug_dataloader_mode(workdir, monkeypatch):
             debug_dataloader=True).train()
     dumps = os.listdir(workdir / "debug_dir")
     assert any(f.endswith(".tif") for f in dumps)
+
+
+def test_ckpt_interval_and_no_validation(tmp_path, monkeypatch):
+    """ckpt_interval_epochs=0 skips per-epoch checkpoints (the final
+    weights dump still happens) and max_val_steps_per_epoch=0 skips
+    validation entirely — the bench.py train-e2e segment relies on both."""
+    monkeypatch.chdir(tmp_path)
+    from mt3d_resenc_unet_tpu.train.trainer import Trainer
+
+    cfg = _make_config(tmp_path, max_epoch=2)
+    cfg["tr_setup"]["ckpt_interval_epochs"] = 0
+    cfg["tr_config"]["max_val_steps_per_epoch"] = 0
+    out = Trainer(config_dict=cfg, verbose=False).train()
+    hist = out["history"]
+    assert len(hist) == 2
+    assert all(not k.startswith("val/") for h in hist for k in h)
+    ckpt_root = tmp_path / "ckpts" / "tinytest"
+    saved = [p.name for p in ckpt_root.iterdir() if p.name.isdigit()]
+    assert saved == []
+    assert os.path.isdir(tmp_path / "tinytest_final")
+
+    # interval 2 over 3 epochs: saves after epoch 2 (index 1) and the
+    # last epoch (index 2)
+    cfg2 = _make_config(tmp_path, max_epoch=3)
+    cfg2["tr_setup"]["ckpt_interval_epochs"] = 2
+    cfg2["tr_setup"]["ckpt_out_base"] = str(tmp_path / "ckpts2")
+    Trainer(config_dict=cfg2, verbose=False).train()
+    saved = sorted(int(p.name) for p in (tmp_path / "ckpts2" / "tinytest").iterdir()
+                   if p.name.isdigit())
+    assert saved == [1, 2]
