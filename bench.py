@@ -257,6 +257,10 @@ def run_train_e2e(batch, patch, steps_per_epoch, epochs, workdir,
                      # device_get + orbax write (tens of seconds on the
                      # tunnel) that the 480s segment budget cannot afford
                      "ckpt_interval_epochs": 0,
+                     # the final weights dump is a ~1G fp32 device_get +
+                     # orbax write — more than the segment's slack on a
+                     # tunneled host, and the bench reports only the rate
+                     "save_final": False,
                      "tensorboard_log_dir": os.path.join(workdir, "lg"),
                      "seed": 0},
         "tr_config": {"optimizer": "AdamW", "initial_lr": 1e-3,

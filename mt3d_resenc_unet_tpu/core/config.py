@@ -70,6 +70,12 @@ class ConfigManager:
         # (the final weights dump still happens). Default 1 = the reference's
         # checkpoint-every-epoch behavior (reference: train.py:249-254).
         self.ckpt_interval_epochs: int = int(t.get("ckpt_interval_epochs", 1))
+        # write the {model_name}_final weights dump after training. Default
+        # true = the reference's final state_dict save (reference:
+        # train.py:339); false skips the full-params device_get, which on a
+        # tunneled TPU host costs tens of seconds the time-boxed bench
+        # segments cannot afford.
+        self.save_final: bool = bool(t.get("save_final", True))
 
         # ---- tr_config -----------------------------------------------
         c = self.tr_configs

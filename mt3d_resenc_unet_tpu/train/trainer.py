@@ -286,7 +286,7 @@ class Trainer:
                 mesh, epoch, writer)
             history.append({"epoch": epoch, **epoch_means, **val_metrics})
 
-        if main:
+        if main and mgr.save_final:
             save_params(Path(f"{mgr.model_name}_final").absolute(),
                         jax.device_get(state.params))
         writer.close()
