@@ -527,22 +527,7 @@ def main():
           f"model_tflops_per_sec={tflops:.1f} "
           f"mfu={100 * util:.1f}% (peak {V5E_PEAK_BF16_TFLOPS:.0f} TF/s bf16)",
           file=sys.stderr, flush=True)
-    # inference throughput (eval forward + on-device Gaussian weighting) as
-    # an extra field of the same single JSON line (BASELINE.md voxels/sec)
-    # inference has no backward: batch 8 fits in 16G and is ~9% faster
-    # than batch 4 (measured 2026-08-17); fall back on capacity failures
-    infer_vps = None
-    for ib in (8, 4, 2):
-        try:
-            infer_vps = run_infer_bench(ib, patch, steps=8, warmup=2)
-            print(f"[bench] infer_voxels_per_sec={infer_vps:.3e} "
-                  f"(batch {ib})", file=sys.stderr, flush=True)
-            break
-        except Exception as e:
-            print(f"[bench] infer batch {ib} failed: {type(e).__name__}",
-                  file=sys.stderr, flush=True)
-
-    def result_line(e2e_train, e2e_infer):
+    def result_line(infer_vps, e2e_train, e2e_infer):
         return json.dumps({
             "metric": "train_patches_per_sec_per_chip_128cubed",
             "value": round(per_chip, 3),
@@ -562,13 +547,30 @@ def main():
                                             else None),
         })
 
-    # the canonical JSON line lands BEFORE any e2e segment runs, so a
-    # driver timeout during e2e can no longer erase the round's numbers
-    # (BENCH_r03 recorded nothing for exactly that reason); a second,
-    # enriched line with the e2e fields follows when the time-boxed
-    # segments complete — parsers taking either the first or the last
-    # JSON line get a valid artifact
-    print(result_line(None, None), flush=True)
+    # the canonical JSON line lands IMMEDIATELY after the step bench —
+    # before the infer bench's own cold compile and before any e2e
+    # segment — so a driver timeout later can no longer erase the round's
+    # headline number (BENCH_r03 recorded nothing for exactly that
+    # reason); progressively enriched lines follow as the infer and
+    # time-boxed e2e numbers arrive — parsers taking either the first or
+    # the last JSON line get a valid artifact
+    print(result_line(None, None, None), flush=True)
+
+    # inference throughput (eval forward + on-device Gaussian weighting) as
+    # an extra field of the enriched lines (BASELINE.md voxels/sec)
+    # inference has no backward: batch 8 fits in 16G and is ~9% faster
+    # than batch 4 (measured 2026-08-17); fall back on capacity failures
+    infer_vps = None
+    for ib in (8, 4, 2):
+        try:
+            infer_vps = run_infer_bench(ib, patch, steps=8, warmup=2)
+            print(f"[bench] infer_voxels_per_sec={infer_vps:.3e} "
+                  f"(batch {ib})", file=sys.stderr, flush=True)
+            break
+        except Exception as e:
+            print(f"[bench] infer batch {ib} failed: {type(e).__name__}",
+                  file=sys.stderr, flush=True)
+    print(result_line(infer_vps, None, None), flush=True)
 
     e2e_train = e2e_infer = None
     if not args.no_e2e:
@@ -588,7 +590,7 @@ def main():
         if e2e_infer is not None:
             print(f"[bench] infer_engine={e2e_infer:.3e} voxels/s",
                   file=sys.stderr, flush=True)
-        print(result_line(e2e_train, e2e_infer), flush=True)
+        print(result_line(infer_vps, e2e_train, e2e_infer), flush=True)
 
 
 if __name__ == "__main__":
