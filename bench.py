@@ -185,7 +185,9 @@ def run_infer_bench(batch, patch, steps, warmup):
     x = jnp.zeros((batch,) + patch + (1,), jnp.float32)
     params = jax.jit(lambda: model.init(
         {"params": jax.random.key(0)}, x[:1], train=False))()
-    wmap = jnp.asarray(gaussian_map(patch))
+    # numpy closure constant: a device-array constant makes jit.lower fetch
+    # its value through the tunnel (~1 min) to embed the MLIR constant
+    wmap = gaussian_map(patch)
 
     @jax.jit
     def forward(params, batch):

@@ -107,12 +107,31 @@ class ConfigManager:
         # inside the jitted step — 2-4x fewer H2D bytes, bit-identical decode
         # (data/dataset.py wire mode + train/step.py decode_wire)
         self.wire_format: bool = bool(c.get("wire_format", True))
+        # run the stochastic augmentation pipeline ON DEVICE inside the
+        # jitted train step (data/augment_device.py) instead of in host
+        # NumPy threads (data/augment.py). Same op set/probabilities/ranges;
+        # blur type and rot90 choice are drawn per step instead of per
+        # sample (documented there). The host then ships raw stored bytes —
+        # on few-core hosts this removes the ~50 ms/sample of NumPy work
+        # that otherwise starves the chip.
+        self.augment_on_device: bool = bool(c.get("augment_on_device", False))
 
         # ---- dataset_config -------------------------------------------
         d = self.dataset_config
         self.min_labeled_ratio: float = float(d.get("min_labeled_ratio", 0.1))
         self.min_bbox_percent: float = float(d.get("min_bbox_percent", 0.95))
         self.use_cache: bool = bool(d.get("use_cache", True))
+        # hold whole training volumes in host RAM when their total stored
+        # bytes fit the budget ("auto"); per-sample reads then cost a slice
+        # copy instead of tensorstore chunk decode (~4x on 1-core hosts).
+        # true forces caching, false disables. No reference counterpart for
+        # training (the reference re-opens stores per sample; its inference
+        # load_all is the analog — inference.py:32-33).
+        rcv = d.get("ram_cache_volumes", "auto")
+        self.ram_cache_volumes = (rcv if isinstance(rcv, bool)
+                                  else str(rcv).lower())
+        self.ram_cache_budget_gb: float = float(
+            d.get("ram_cache_budget_gb", 4.0))
         self.cache_folder: Path = Path(d.get("cache_folder", d.get("cache_file", "patch_cache")))
         self.in_channels: int = int(d.get("in_channels", 1))
         self.tasks: Dict[str, Dict[str, Any]] = dict(d.get("targets", {}) or {})

@@ -30,7 +30,8 @@ from scipy import ndimage as ndi
 
 from .augment import AugmentationPipeline
 from .patches import PatchCache, find_valid_patches
-from .zio import Volume, decode_normals, normalize_to_unit, open_zarr
+from .zio import (Volume, decode_normals, normalize_to_unit, open_zarr,
+                  to_ram, volume_nbytes)
 
 
 def _ball(radius: int) -> np.ndarray:
@@ -77,6 +78,13 @@ class ZarrPatchDataset:
         # decode_wire) with arithmetic identical to the host LUTs in zio.py
         self.wire = wire
 
+        opened: Dict[str, Volume] = {}   # dedupe by path (shared targets)
+
+        def _open(path: str) -> Volume:
+            if path not in opened:
+                opened[path] = open_zarr(path)
+            return opened[path]
+
         self.volumes: List[VolumeEntry] = []
         for vol_idx, vol_info in enumerate(mgr.volume_paths):
             ref_label_key = vol_info.get("ref_label", "sheet")
@@ -85,12 +93,26 @@ class ZarrPatchDataset:
                 if task_name not in vol_info:
                     raise ValueError(
                         f"Volume {vol_idx} missing path for '{task_name}'")
-                targets[task_name] = open_zarr(vol_info[task_name])
+                targets[task_name] = _open(vol_info[task_name])
             self.volumes.append(VolumeEntry(
-                input=open_zarr(vol_info["input"]),
+                input=_open(vol_info["input"]),
                 targets=targets,
                 ref_label_key=ref_label_key,
             ))
+
+        # hold whole volumes in host RAM when the config allows: per-sample
+        # reads become strided numpy slices instead of tensorstore chunk
+        # fetch + decode — ~4x cheaper on few-core hosts where the read path
+        # starves the chip (core/config.py ram_cache_volumes)
+        rcv = getattr(mgr, "ram_cache_volumes", "auto")
+        total = sum(volume_nbytes(v) for v in opened.values())
+        budget = float(getattr(mgr, "ram_cache_budget_gb", 4.0)) * 2 ** 30
+        if rcv is True or (rcv == "auto" and total <= budget):
+            ram = {p: to_ram(v) for p, v in opened.items()}
+            for entry in self.volumes:
+                entry.input = ram[entry.input.path]
+                entry.targets = {k: ram[v.path]
+                                 for k, v in entry.targets.items()}
 
         cache = PatchCache(mgr.cache_folder, mgr.model_name, self.patch_size)
         patches = cache.load() if mgr.use_cache else None

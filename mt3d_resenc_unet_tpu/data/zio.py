@@ -92,6 +92,67 @@ class Volume:
         return np.asarray(self.store.read().result())
 
 
+class _ReadyFuture:
+    """Minimal future shim so RamVolume satisfies Volume.read_async."""
+
+    __slots__ = ("_value",)
+
+    def __init__(self, value):
+        self._value = value
+
+    def result(self):
+        return self._value
+
+
+@dataclasses.dataclass
+class RamVolume:
+    """A Volume fully resident in host RAM (read-only).
+
+    Per-sample reads cost a strided numpy slice copy instead of a
+    tensorstore chunk fetch + Blosc decode — measured ~4x cheaper on
+    1-core hosts, where the read path otherwise starves the chip. The
+    training analog of the reference's inference-side ``load_all``
+    (reference: inference.py:32-33); the reference's training datasets
+    always re-read chunks per sample (dataloading/dataset.py:114-143).
+    """
+
+    data: np.ndarray
+    path: str
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return self.data.shape
+
+    @property
+    def dtype(self) -> np.dtype:
+        return self.data.dtype
+
+    @property
+    def chunks(self) -> Tuple[int, ...]:
+        return self.data.shape
+
+    def __getitem__(self, idx) -> np.ndarray:
+        return self.data[idx]
+
+    def read_async(self, idx):
+        return _ReadyFuture(self.data[idx])
+
+    def read_all(self) -> np.ndarray:
+        return self.data
+
+
+def volume_nbytes(vol) -> int:
+    """Stored (decompressed) size of a volume in bytes."""
+    return int(np.prod(vol.shape)) * np.dtype(vol.dtype).itemsize
+
+
+def to_ram(vol) -> "RamVolume":
+    """Materialize a Volume into host RAM (no-op for RamVolume)."""
+    if isinstance(vol, RamVolume):
+        return vol
+    return RamVolume(data=np.ascontiguousarray(vol.read_all()), path=vol.path)
+
+
 def open_zarr(path: str, *, component: Optional[str] = None,
               writable: bool = False) -> Volume:
     """Open an existing zarr v2 array (local or remote).

@@ -328,7 +328,11 @@ class ZarrInferenceEngine:
             wmap = gaussian_map(patch, mgr.infer_gaussian_sigma_scale)
         else:
             wmap = uniform_map(patch)
-        wmap_dev = jnp.asarray(wmap)
+        # keep the closure constant as NUMPY: lowering a jitted function that
+        # closes over a DEVICE array fetches its value to embed the MLIR
+        # constant — measured 58 s for a 16 KB array through the axon tunnel
+        # (2026-08-20); a host array embeds in milliseconds
+        wmap_dev = np.asarray(wmap, np.float32)
 
         # shard the patch batch over this process's LOCAL devices; replicate
         # params. Inference needs no cross-host collectives (each process
@@ -487,8 +491,14 @@ class ZarrInferenceEngine:
         params = self._load_params(model, plan)
         _phase["load_params"] = (_time.perf_counter() - _t0
                                  - _phase["build"])
-        dev = jax.local_devices()[0]
-        params = jax.device_put(params, dev)
+        # all arrays stay UNCOMMITTED (no explicit device argument): this
+        # path is gated to single-local-device hosts, where uncommitted
+        # placement is device 0 anyway — and the concrete call signature
+        # then matches the abstract prelower below, so the persistent-cache
+        # key is process-stable (committed args forced a second trace from
+        # concrete buffers, which serialized differently in every process:
+        # two 89 MB jit_step cache entries for identical runs, 2026-08-20)
+        params = jax.device_put(params)
         jax.block_until_ready(params)
         _phase["setup"] = _time.perf_counter() - _t0
 
@@ -501,7 +511,9 @@ class ZarrInferenceEngine:
             wmap = gaussian_map(patch, mgr.infer_gaussian_sigma_scale)
         else:
             wmap = uniform_map(patch)
-        wmap_dev = jax.device_put(jnp.asarray(wmap), dev)
+        # numpy, not device: device-array closure constants stall lowering
+        # behind a per-constant device fetch (58 s/16 KB on the tunnel)
+        wmap_dev = np.asarray(wmap, np.float32)
 
         if os.path.isdir(store_path):
             raise FileExistsError(
@@ -581,10 +593,9 @@ class ZarrInferenceEngine:
 
         finalize_j = jax.jit(finalize, donate_argnums=(0,))
 
-        sums = {n: jax.device_put(
-            jnp.zeros(in_shape + (chans[n],), jnp.float32), dev)
-            for n in names}
-        wsum = jax.device_put(jnp.zeros(in_shape, jnp.float32), dev)
+        sums = {n: jnp.zeros(in_shape + (chans[n],), jnp.float32)
+                for n in names}
+        wsum = jnp.zeros(in_shape, jnp.float32)
 
         batch_size = mgr.infer_batch_size
         n = len(positions)
@@ -642,9 +653,9 @@ class ZarrInferenceEngine:
                 if nxt < n_batches:
                     futs[nxt] = pool.submit(make_batch, nxt)
                 sums, wsum = step_j(params, sums, wsum,
-                                    jax.device_put(raw_b, dev),
-                                    jax.device_put(pos_b, dev),
-                                    jax.device_put(valid_b, dev))
+                                    jax.device_put(raw_b),
+                                    jax.device_put(pos_b),
+                                    jax.device_put(valid_b))
                 if b == 0:
                     jax.block_until_ready(wsum)
                     _phase["first_step"] = _time.perf_counter() - _t1

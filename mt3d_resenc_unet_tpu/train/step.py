@@ -158,11 +158,18 @@ def make_train_step(
     task_weights: Mapping[str, float],
     grad_accum_steps: int = 1,
     donate: bool = True,
+    augment_fn: Optional[Callable[[Dict[str, jax.Array], jax.Array],
+                                  Dict[str, jax.Array]]] = None,
 ) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the jitted train step.
 
     The batch dict must contain 'image' plus one entry per task, each with
     leading dimension ``grad_accum_steps * microbatch``.
+
+    ``augment_fn(batch, rng) -> batch`` (e.g. data/augment_device.py) runs
+    INSIDE the compiled step, per microbatch, after the wire decode — the
+    TPU-native home of the stochastic sample pipeline the reference executes
+    in DataLoader workers (reference: dataloading/dataset.py:176-209).
     """
     loss_fns = dict(loss_fns)
     task_weights = dict(task_weights)
@@ -172,6 +179,9 @@ def make_train_step(
         # wire-format decode happens per-microbatch INSIDE the scan so the
         # fp32 expansion never materializes for the whole accumulated batch
         micro = decode_wire(micro, normal_keys)
+        if augment_fn is not None:
+            rng, a_rng = jax.random.split(rng)
+            micro = augment_fn(micro, a_rng)
         d_rng, p_rng = jax.random.split(rng)
         outputs = model.apply(
             {"params": params}, micro["image"], train=True,

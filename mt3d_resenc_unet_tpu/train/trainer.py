@@ -81,8 +81,11 @@ class Trainer:
         )
 
     def _configure_dataset(self) -> ZarrPatchDataset:
+        # with device-side augmentation the host ships raw stored bytes and
+        # the compiled step applies the pipeline (data/augment_device.py)
         return ZarrPatchDataset(self.mgr, seed=self.mgr.seed,
-                                wire=self.mgr.wire_format)
+                                wire=self.mgr.wire_format,
+                                augment=not self.mgr.augment_on_device)
 
     def _build_loss(self):
         return build_task_losses(self.mgr.tasks, self.mgr.ignore_label,
@@ -181,9 +184,17 @@ class Trainer:
             start_epoch = int(restored["epoch"]) + 1
             print(f"[trainer] auto-resumed from epoch {start_epoch}")
 
+        augment_fn = None
+        if mgr.augment_on_device:
+            from ..data.augment_device import (DeviceAugConfig,
+                                               make_device_augment)
+            augment_fn = make_device_augment(DeviceAugConfig(
+                normal_keys=tuple(k for k in mgr.tasks
+                                  if k.lower() == "normals")))
         train_step = make_train_step(model, loss_fns, task_weights,
                                      grad_accum_steps=accum,
-                                     donate=mgr.donate_state)
+                                     donate=mgr.donate_state,
+                                     augment_fn=augment_fn)
         eval_step = make_eval_step(model, loss_fns)
         predict_step = make_predict_step(model)
 
