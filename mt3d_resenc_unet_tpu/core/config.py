@@ -76,6 +76,10 @@ class ConfigManager:
         # tunneled TPU host costs tens of seconds the time-boxed bench
         # segments cannot afford.
         self.save_final: bool = bool(t.get("save_final", True))
+        # timestamped phase markers (mining/compile/epoch boundaries) to
+        # stderr — lets a time-boxed bench segment that dies mid-run still
+        # report where its wall clock went
+        self.phase_log: bool = bool(t.get("phase_log", False))
 
         # ---- tr_config -----------------------------------------------
         c = self.tr_configs
@@ -128,8 +132,18 @@ class ConfigManager:
         # training (the reference re-opens stores per sample; its inference
         # load_all is the analog — inference.py:32-33).
         rcv = d.get("ram_cache_volumes", "auto")
-        self.ram_cache_volumes = (rcv if isinstance(rcv, bool)
-                                  else str(rcv).lower())
+        if not isinstance(rcv, bool):
+            rcv = str(rcv).lower()
+            if rcv in ("true", "1", "yes"):
+                rcv = True
+            elif rcv in ("false", "0", "no"):
+                rcv = False
+            elif rcv != "auto":
+                # a typo like "always" must not silently disable the cache
+                raise ValueError(
+                    f"dataset_config.ram_cache_volumes must be a bool or "
+                    f"'auto', got {d.get('ram_cache_volumes')!r}")
+        self.ram_cache_volumes = rcv
         self.ram_cache_budget_gb: float = float(
             d.get("ram_cache_budget_gb", 4.0))
         self.cache_folder: Path = Path(d.get("cache_folder", d.get("cache_file", "patch_cache")))

@@ -166,7 +166,9 @@ def _motion_blur(img, key, b):
     hit = ((yy[:, None, None] == ii[None, :, None])
            & (xx[:, None, None] == ii[None, None, :])
            & active[:, None, None])
-    kern = hit.astype(jnp.float32).sum(axis=0)           # (7, 7)
+    # binary hit mask (line samples that round onto the same cell count
+    # once), matching the host motion_blur / albumentations kernel
+    kern = hit.any(axis=0).astype(jnp.float32)           # (7, 7)
     kern = kern / jnp.maximum(kern.sum(), 1.0)
     return _apply_kernel_2d(img, kern)
 
@@ -189,6 +191,14 @@ def _downscale(img, key, b):
     bilinear back up (host analog: downscale)."""
     del key
     bsz, d, h, w, c = img.shape
+    if h % 4 or w % 4:
+        # arbitrary sizes: area-style resize down, bilinear up (the exact
+        # 4x4 box average below needs multiple-of-4 extents)
+        small = jax.image.resize(img.astype(jnp.float32),
+                                 (bsz, d, max(1, h // 4), max(1, w // 4), c),
+                                 method="linear")
+        up = jax.image.resize(small, (bsz, d, h, w, c), method="bilinear")
+        return up.astype(img.dtype)
     x = img.astype(jnp.float32).reshape(bsz, d, h // 4, 4, w // 4, 4, c)
     small = x.mean(axis=(3, 5))
     up = jax.image.resize(small, (bsz, d, h, w, c), method="bilinear")
@@ -220,7 +230,7 @@ def _cutout_mask(key, b, spatial, holes, extent):
     kn, kb = jax.random.split(key)
     n = jax.random.randint(kn, (b, 1), holes[0], holes[1] + 1)
     keys = jax.random.split(kb, 2 * len(spatial))
-    mask = jnp.zeros((b, max_holes) + tuple(spatial), bool)
+    box = None
     for a, size in enumerate(spatial):
         ke, ks = keys[2 * a], keys[2 * a + 1]
         ext = _u(ke, (b, max_holes), *extent)
@@ -235,11 +245,7 @@ def _cutout_mask(key, b, spatial, holes, extent):
         hi = (start + hs)[..., None, None, None]
         # move the per-axis bounds into position (B, holes, D, H, W)
         in_axis = (ii >= lo) & (ii < hi)
-        mask = mask | False  # keep bool
-        if a == 0:
-            box = in_axis
-        else:
-            box = box & in_axis
+        box = in_axis if box is None else box & in_axis
     active = (jnp.arange(max_holes)[None, :] < n)[..., None, None, None]
     return jnp.any(box & active, axis=1)
 

@@ -44,8 +44,7 @@ from ..data.zio import (
     zarr_exists,
 )
 from ..models.network import ResEncUNet
-from ..train.checkpoint import (load_params_any, merge_params_lazy,
-                                merge_params_nonstrict)
+from ..train.checkpoint import load_params_any, merge_params_lazy
 from ..utils import native
 from ..utils.compile_cache import prelower
 from .gaussian import gaussian_map, uniform_map

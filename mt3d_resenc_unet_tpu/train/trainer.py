@@ -35,7 +35,7 @@ from ..parallel.distributed import (global_mesh, is_main_process,
                                     process_batch_slice, sync_global_devices)
 from ..parallel.mesh import make_mesh, pad_batch_to_devices, replicate
 from ..utils.compile_cache import prelower
-from .checkpoint import CheckpointManager, merge_params_nonstrict, save_params
+from .checkpoint import CheckpointManager, save_params
 from .losses import build_task_losses
 from .metrics import MetricsWriter
 from .step import (
@@ -68,6 +68,16 @@ class Trainer:
         self.debug_dataloader = debug_dataloader
         self._prelowered = False
         self._prelowered_eval = False
+        self._t0 = time.time()
+
+    def _phase(self, name: str) -> None:
+        """Timestamped phase marker to stderr (mgr.phase_log): a time-boxed
+        caller that kills this process mid-run still learns where the wall
+        clock went (mining vs compile vs epochs)."""
+        if self.mgr.phase_log:
+            import sys
+            print(f"[phase +{time.time() - self._t0:7.1f}s] {name}",
+                  file=sys.stderr, flush=True)
 
     # ------------------------------------------------------------- builders
     def _build_plan(self) -> NetworkPlan:
@@ -139,7 +149,9 @@ class Trainer:
         loss_fns = self._build_loss()
         task_weights = {name: float(info.get("weight", 1.0))
                         for name, info in mgr.tasks.items()}
+        self._phase("model+losses built; mining patches")
         dataset = self._configure_dataset()
+        self._phase(f"dataset ready ({len(dataset)} patches)")
 
         if self.debug_dataloader:
             export_data_dict_as_tif(dataset, num_batches=25,
@@ -164,6 +176,7 @@ class Trainer:
         schedule = self._get_scheduler(opt_steps_per_epoch)
         tx = self._get_optimizer(schedule)
         state = self._init_state(model, plan, tx, mesh)
+        self._phase("params initialized")
         print(f"[trainer] model '{plan.model_name}': "
               f"{count_params(state.params):,} params, "
               f"{mesh.devices.size} device(s), patch {plan.patch_size}, "
@@ -240,11 +253,15 @@ class Trainer:
                 if profile_dir and epoch == start_epoch and steps == 3:
                     jax.profiler.start_trace(profile_dir)
                 if not self._prelowered:
+                    self._phase("first batch on device; lowering train step")
                     # abstract-aval trace first: process-stable persistent
                     # cache key (see utils/compile_cache.prelower)
                     prelower(train_step, state, batch)
                     self._prelowered = True
                 state, metrics = train_step(state, batch)
+                if steps == 0 and epoch == start_epoch and mgr.phase_log:
+                    jax.block_until_ready(metrics["total_loss"])
+                    self._phase("train step compiled + step 1 done")
                 steps += 1
                 if profile_dir and epoch == start_epoch and steps == 6:
                     jax.block_until_ready(metrics)
@@ -264,6 +281,8 @@ class Trainer:
             # so the throughput clock stops only after real device completion
             running = {t: float(running[t]) for t in mgr.tasks}
             dt = time.time() - t_start
+            self._phase(f"epoch {epoch + 1} done "
+                        f"({steps * step_samples / max(dt, 1e-9):.2f} p/s)")
 
             epoch_means = {f"train/{t}_loss": running[t] / steps
                            for t in mgr.tasks}
