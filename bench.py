@@ -61,7 +61,7 @@ ANALYTIC_SKIP_MARGIN = 1.0
 HBM_BUDGET_BYTES = int(15.2 * 2 ** 30)
 
 
-def build(batch, patch, accum=1, remat=True):
+def build(batch, patch, accum=1, remat=True, augment=False, wire=False):
     from mt3d_resenc_unet_tpu.core.plan import TaskHead, plan_from_autoconfig
     from mt3d_resenc_unet_tpu.models.network import ResEncUNet
     from mt3d_resenc_unet_tpu.train.losses import build_task_losses
@@ -87,18 +87,36 @@ def build(batch, patch, accum=1, remat=True):
                          weight_decay=1e-4, grad_clip_norm=3.0)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx,
                               rng=jax.random.key(1))
+    augment_fn = None
+    if augment:
+        from mt3d_resenc_unet_tpu.data.augment_device import (
+            DeviceAugConfig, make_device_augment)
+        augment_fn = make_device_augment(
+            DeviceAugConfig(normal_keys=("normals",)))
     step = make_train_step(model, loss_fns, {"sheet": 1.0, "normals": 1.0},
-                           grad_accum_steps=accum, donate=True)
+                           grad_accum_steps=accum, donate=True,
+                           augment_fn=augment_fn)
 
     rng = np.random.default_rng(0)
     n = batch * accum
-    batch_data = {
-        "image": jnp.asarray(rng.random((n,) + patch + (1,), np.float32)),
-        "sheet": jnp.asarray(
-            (rng.random((n,) + patch + (1,)) > 0.5).astype(np.float32)),
-        "normals": jnp.asarray(
-            rng.standard_normal((n,) + patch + (3,)).astype(np.float32)),
-    }
+    if wire:
+        # the e2e trainer's wire-format dtypes (uint8/uint8/uint16)
+        batch_data = {
+            "image": jnp.asarray(rng.integers(
+                0, 255, (n,) + patch + (1,)).astype(np.uint8)),
+            "sheet": jnp.asarray(rng.integers(
+                0, 2, (n,) + patch + (1,)).astype(np.uint8) * 255),
+            "normals": jnp.asarray(rng.integers(
+                0, 65535, (n,) + patch + (3,)).astype(np.uint16)),
+        }
+    else:
+        batch_data = {
+            "image": jnp.asarray(rng.random((n,) + patch + (1,), np.float32)),
+            "sheet": jnp.asarray(
+                (rng.random((n,) + patch + (1,)) > 0.5).astype(np.float32)),
+            "normals": jnp.asarray(
+                rng.standard_normal((n,) + patch + (3,)).astype(np.float32)),
+        }
     return state, step, batch_data
 
 
@@ -115,9 +133,11 @@ class OverBudget(Exception):
     pass
 
 
-def run_bench(batch, patch, steps, warmup, remat=True):
+def run_bench(batch, patch, steps, warmup, remat=True,
+              augment=False, wire=False):
     """Returns (patches_per_sec, n_devices_used, xla_flops_per_step|None)."""
-    state, step, data = build(batch, patch, remat=remat)
+    state, step, data = build(batch, patch, remat=remat,
+                              augment=augment, wire=wire)
     # AOT compile so the memory analysis can reject over-budget batches
     # BEFORE an execution attempt (VERDICT r2: probe larger batches
     # automatically; memory wins must convert to throughput without edits)
@@ -262,6 +282,9 @@ def run_train_e2e(batch, patch, steps_per_epoch, epochs, workdir,
                      # phase timers to stderr: a segment timeout still
                      # reports where the time went (VERDICT r4 weak #2)
                      "phase_log": True,
+                     # optional xprof capture of epoch-1 steps 3-6
+                     **({"profile_dir": os.environ["MT3D_E2E_PROFILE_DIR"]}
+                        if os.environ.get("MT3D_E2E_PROFILE_DIR") else {}),
                      "ckpt_out_base": os.path.join(workdir, "ck"),
                      # no per-epoch checkpoints: each is a ~2.8G fp32
                      # device_get + orbax write (tens of seconds on the
@@ -413,6 +436,7 @@ def _run_e2e_segment(mode, budget_secs, extra):
 
 
 def main():
+    t_start = time.monotonic()
     # repeat runs (and the e2e segments after the step bench) hit the
     # persistent XLA cache instead of re-paying multi-minute compiles
     from mt3d_resenc_unet_tpu.utils.compile_cache import (
@@ -590,10 +614,20 @@ def main():
 
     e2e_train = e2e_infer = None
     if not args.no_e2e:
+        # the driver runs the whole bench under its own wall-clock limit;
+        # budget each e2e segment from the time actually LEFT (r4 lost
+        # infer-e2e entirely because train-e2e consumed a fixed 480 s after
+        # the step bench had already burned a wasted compile)
+        total = float(os.environ.get("MT3D_BENCH_TOTAL_BUDGET", "1380"))
+
+        def left(reserve):
+            return total - (time.monotonic() - t_start) - reserve
+
         common = ["--workdir", args.workdir,
                   "--patch", *map(str, patch)]
+        # infer-e2e is the cheaper compile: reserve ~290s for it
         e2e_train = _run_e2e_segment(
-            "train-e2e", args.e2e_budget_secs,
+            "train-e2e", min(args.e2e_budget_secs, left(290)),
             common + ["--batch", str(used_batch),
                       "--train-vol", *map(str, args.train_vol)])
         if e2e_train is not None:
@@ -601,7 +635,7 @@ def main():
                   f"({100 * e2e_train / per_chip:.0f}% of step-only)",
                   file=sys.stderr, flush=True)
         e2e_infer = _run_e2e_segment(
-            "infer-e2e", args.e2e_budget_secs,
+            "infer-e2e", min(args.e2e_budget_secs, left(20)),
             common + ["--infer-vol", *map(str, args.infer_vol)])
         if e2e_infer is not None:
             print(f"[bench] infer_engine={e2e_infer:.3e} voxels/s",

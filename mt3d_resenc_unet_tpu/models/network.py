@@ -28,6 +28,8 @@ from .blocks import (
     ConvNormAct,
     StackedConvBlocks,
     StackedResidualBlocks,
+    torch_bias_init,
+    torch_conv_kernel_init,
 )
 
 Dtype = jnp.dtype
@@ -57,9 +59,20 @@ class UpsampleConv(nn.Module):
         k = tuple(self.kernel_size)
         ci = x.shape[-1]
         co = self.features
-        kernel = self.param("kernel", nn.initializers.he_normal(),
-                            k + (ci, co), self.param_dtype)
-        bias = (self.param("bias", nn.initializers.zeros, (co,),
+        # torch ConvTranspose default init: kaiming_uniform(a=sqrt(5)) with
+        # fan_in = c_out * prod(k) (torch weight layout (ci, co, *k) makes
+        # size(1) = co the "input fmaps") — the reference upsamples with
+        # nn.ConvTranspose3d at torch defaults (builders/decoder.py:76-79)
+        fan = co
+        for kk in k:
+            fan *= kk
+        bound = 1.0 / (fan ** 0.5)
+        kernel = self.param(
+            "kernel",
+            lambda key, shape, dtype: jax.random.uniform(
+                key, shape, dtype, -bound, bound),
+            k + (ci, co), self.param_dtype)
+        bias = (self.param("bias", torch_bias_init(fan), (co,),
                            self.param_dtype) if self.use_bias else None)
         x = x.astype(self.dtype)
         nd = len(k)
@@ -148,10 +161,12 @@ class SegLayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         ci = x.shape[-1]
+        # torch Conv default init (the reference's seg layers are plain
+        # nn.ConvNd(1x1, bias=True) at torch defaults, decoder.py:97-100)
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
+            "kernel", torch_conv_kernel_init,
             (1,) * self.dim + (ci, self.features), self.param_dtype)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+        bias = self.param("bias", torch_bias_init(ci), (self.features,),
                           self.param_dtype)
         w2 = kernel.reshape(ci, self.features).astype(self.dtype)
         y = jnp.dot(x.astype(self.dtype), w2,

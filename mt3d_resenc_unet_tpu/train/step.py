@@ -36,6 +36,18 @@ class TrainState(train_state.TrainState):
 
     rng: jax.Array = None
 
+    @classmethod
+    def create(cls, **kwargs):
+        state = super().create(**kwargs)
+        # flax sets step=0 (a WEAK-typed python int). The first jitted
+        # train_step call then traces with a weak int32 step, and the
+        # second call — whose input is step 1's STRONG int32 output —
+        # retraces AND recompiles the whole program (measured: a second
+        # 125 s XLA compile on the first e2e step 2, 2026-08-20). A strong
+        # dtype from the start makes every call signature identical (and
+        # lets the abstract prelower trace be the only trace).
+        return state.replace(step=jnp.asarray(state.step, jnp.int32))
+
 
 def cosine_epoch_schedule(initial_lr: float, max_epoch: int,
                           steps_per_epoch: int) -> optax.Schedule:
@@ -241,6 +253,12 @@ def make_train_step(
         metrics = dict(per_task)
         metrics["total_loss"] = total
         metrics["grad_norm"] = optax.global_norm(grads)
+        # one packed vector so the trainer's device-side running sum is a
+        # SINGLE tiny op per step instead of one per metric (each dispatch
+        # costs ~26 ms of round-trip overhead on tunneled runtimes); key
+        # order is the sorted metric names
+        metrics["_vec"] = jnp.stack(
+            [metrics[k].astype(jnp.float32) for k in sorted(metrics)])
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

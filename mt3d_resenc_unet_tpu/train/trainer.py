@@ -131,6 +131,16 @@ class Trainer:
         state = TrainState.create(
             apply_fn=model.apply, params=params, tx=tx,
             rng=jax.random.key(self.mgr.seed + 1))
+        # Canonicalize tracing avals: replicate()'s device_put tags param
+        # avals with the mesh's Auto-axis sharding ({Auto: ('data',)}),
+        # while jit OUTPUTS carry plain avals ({}). Without this identity
+        # pass, train_step traces+compiles TWO programs — one for the
+        # freshly-initialized state (call 1) and one for every state
+        # thereafter — measured as a second 125 s XLA compile on e2e
+        # step 2, with both 240 MB executables resident
+        # (jax_explain_cache_misses, 2026-08-21). Donation makes it a
+        # zero-copy alias pass.
+        state = jax.jit(lambda s: s, donate_argnums=(0,))(state)
         return state
 
     def _microbatch_size(self, mesh) -> int:
@@ -193,7 +203,7 @@ class Trainer:
             restored = ckpt.restore(template=_state_template(state))
             state = state.replace(
                 params=restored["params"], opt_state=restored["opt_state"],
-                step=jnp.asarray(restored["step"]))
+                step=jnp.asarray(restored["step"], jnp.int32))
             start_epoch = int(restored["epoch"]) + 1
             print(f"[trainer] auto-resumed from epoch {start_epoch}")
 
@@ -240,14 +250,22 @@ class Trainer:
             else:
                 host_step_samples = step_samples
 
-            running = None  # device-side loss sums (no per-step host sync)
+            running = None  # device-side packed loss sums (one add/step)
+            metric_names = None
             steps = 0
             t_start = time.time()
+            t_fetch = t_step = t_acc = 0.0
             batches = batch_iterator(
                 dataset, epoch_indices, host_step_samples,
                 num_threads=mgr.train_num_dataloader_workers)
             profile_dir = self.mgr.tr_info.get("profile_dir")
-            for batch in device_prefetch(batches, mesh, mgr.dp_axis):
+            batch_it = iter(device_prefetch(batches, mesh, mgr.dp_axis))
+            while True:
+                t0 = time.perf_counter()
+                batch = next(batch_it, None)
+                t_fetch += time.perf_counter() - t0
+                if batch is None:
+                    break
                 # optional xprof capture of steps 3-6 of the first epoch
                 # (tracing/profiling is absent in the reference, SURVEY.md §5.1)
                 if profile_dir and epoch == start_epoch and steps == 3:
@@ -258,20 +276,47 @@ class Trainer:
                     # cache key (see utils/compile_cache.prelower)
                     prelower(train_step, state, batch)
                     self._prelowered = True
+                t0 = time.perf_counter()
                 state, metrics = train_step(state, batch)
-                if steps == 0 and epoch == start_epoch and mgr.phase_log:
+                t_step += time.perf_counter() - t0
+                if (epoch == start_epoch
+                        or os.environ.get("MT3D_SYNC_STEPS") == "1"):
+                    # Sync EVERY step of the first epoch with a real VALUE
+                    # fetch: on the tunneled runtime the first unsynced
+                    # dispatch burst after a fresh compile executes at
+                    # ~30 s/step (measured 2026-08-21: epoch-1 steps 4-10
+                    # took 288 s unsynced, while all later epochs run at
+                    # the normal ~0.5 s) — and ``block_until_ready`` is NOT
+                    # a sync on this platform (it returns early on chained
+                    # dispatches; docs/PERFORMANCE.md platform notes). The
+                    # scalar fetch costs one ~26 ms round trip per step and
+                    # only applies to the first epoch; steady-state epochs
+                    # keep the async dispatch queue. MT3D_SYNC_STEPS=1
+                    # syncs every step of every epoch (diagnostics).
+                    float(metrics["total_loss"])
+                    if mgr.phase_log and steps < 3:
+                        self._phase(
+                            "train step compiled + step 1 done"
+                            if steps == 0 and epoch == start_epoch
+                            else f"epoch {epoch + 1} step {steps + 1} done")
+                elif mgr.phase_log and steps < 3 and epoch == start_epoch + 1:
                     jax.block_until_ready(metrics["total_loss"])
-                    self._phase("train step compiled + step 1 done")
+                    self._phase(f"epoch {epoch + 1} step {steps + 1} done")
                 steps += 1
                 if profile_dir and epoch == start_epoch and steps == 6:
                     jax.block_until_ready(metrics)
                     jax.profiler.stop_trace()
                 # accumulate losses ON DEVICE: a float() here would block the
                 # host on every step (a full round-trip on the tunneled TPU)
-                # and cap pipelining; the async add keeps the dispatch queue
-                # full, and the single fetch happens at epoch end.
-                running = metrics if running is None else jax.tree.map(
-                    jnp.add, running, metrics)
+                # and cap pipelining; ONE packed-vector add per step keeps
+                # the dispatch queue full, and the single fetch happens at
+                # epoch end.
+                t0 = time.perf_counter()
+                if metric_names is None:
+                    metric_names = sorted(k for k in metrics if k != "_vec")
+                vec = metrics["_vec"]
+                running = vec if running is None else running + vec
+                t_acc += time.perf_counter() - t0
                 if steps >= opt_steps_per_epoch:
                     break
             if steps == 0:
@@ -279,10 +324,16 @@ class Trainer:
                                    "check dataset/patch mining results")
             # the fetch below transitively waits for every step of the epoch,
             # so the throughput clock stops only after real device completion
-            running = {t: float(running[t]) for t in mgr.tasks}
+            t0 = time.perf_counter()
+            vals = np.asarray(jax.device_get(running), np.float32)
+            running = {name: float(v)
+                       for name, v in zip(metric_names, vals)}
+            t_drain = time.perf_counter() - t0
             dt = time.time() - t_start
             self._phase(f"epoch {epoch + 1} done "
-                        f"({steps * step_samples / max(dt, 1e-9):.2f} p/s)")
+                        f"({steps * step_samples / max(dt, 1e-9):.2f} p/s; "
+                        f"fetch {t_fetch:.1f}s dispatch {t_step:.1f}s "
+                        f"acc {t_acc:.1f}s drain {t_drain:.1f}s)")
 
             epoch_means = {f"train/{t}_loss": running[t] / steps
                            for t in mgr.tasks}
@@ -339,7 +390,7 @@ class Trainer:
         restored = restore_flexible(path, _state_template(state))
         state = state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
-            step=jnp.asarray(restored["step"]))
+            step=jnp.asarray(restored["step"], jnp.int32))
         start_epoch = int(restored["epoch"]) + 1
         print(f"[trainer] resuming from epoch {start_epoch + 1}")
         return state, start_epoch

@@ -454,6 +454,7 @@ def evaluate(preds, gts):
 
 
 def main():
+    global PATCH, VOL_SHAPE
     p = argparse.ArgumentParser()
     p.add_argument("--workdir", default="/tmp/mt3d_parity")
     p.add_argument("--epochs", type=int, default=6)
@@ -461,10 +462,16 @@ def main():
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--patch", type=int, default=PATCH[0],
+                   help="cubic patch edge (tiny values for the smoke test)")
+    p.add_argument("--vol", type=int, default=VOL_SHAPE[0],
+                   help="cubic synthetic-volume edge")
     p.add_argument("--skip", choices=["none", "ref", "ours"], default="none")
     p.add_argument("--update-md", action="store_true",
                    help="append/refresh the PARITY.md head-to-head table")
     args = p.parse_args()
+    PATCH = (args.patch,) * 3
+    VOL_SHAPE = (args.vol,) * 3
     os.makedirs(args.workdir, exist_ok=True)
 
     rng = np.random.default_rng(args.seed)
