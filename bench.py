@@ -399,7 +399,19 @@ def run_infer_e2e(patch, workdir, vol_shape=(512, 512, 512), batch=8):
     dt = time.perf_counter() - t0
     patch_voxels = n_pos * patch[0] * patch[1] * patch[2]
     out_voxels = vol_shape[0] * vol_shape[1] * vol_shape[2]
-    return patch_voxels / dt, out_voxels / dt, dt
+    # sustained rate excludes the per-process fixed costs (setup, compile/
+    # cache load, the platform's ~90 s first execution): what a long
+    # production volume would see once the engine is warm
+    sustained = None
+    ph = getattr(eng, "last_phases", None)
+    if ph and "loop" in ph:
+        warm = (ph["loop"] + ph.get("finalize", 0.0)
+                + ph.get("fetch_write", 0.0))
+        if warm > 0:
+            # slight over-estimate: the first (warm-up) batch's voxels are
+            # counted but its wall time is in first_step, not loop
+            sustained = patch_voxels / warm
+    return patch_voxels / dt, out_voxels / dt, dt, sustained
 
 
 def _run_e2e_segment(mode, budget_secs, extra):
@@ -485,13 +497,18 @@ def main():
         return
 
     if args.mode == "infer-e2e":
-        pvs, ovs, dt = run_infer_e2e(patch, args.workdir,
-                                     vol_shape=tuple(args.infer_vol))
+        pvs, ovs, dt, sustained = run_infer_e2e(
+            patch, args.workdir, vol_shape=tuple(args.infer_vol))
         print(f"[bench] engine e2e: {dt:.1f}s total "
-              f"({ovs:.3e} output voxels/s)", file=sys.stderr, flush=True)
+              f"({ovs:.3e} output voxels/s; sustained "
+              f"{sustained if sustained else float('nan'):.3e})",
+              file=sys.stderr, flush=True)
         print(json.dumps({
             "metric": "infer_engine_voxels_per_sec", "value": round(pvs, 1),
-            "unit": "voxels/s", "vs_baseline": None}), flush=True)
+            "unit": "voxels/s", "vs_baseline": None,
+            "sustained_voxels_per_sec": (round(sustained, 1)
+                                         if sustained else None)}),
+            flush=True)
         return
 
     # batch 8 deterministically exceeds the 16G HBM at 128^3; larger

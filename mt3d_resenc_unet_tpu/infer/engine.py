@@ -716,6 +716,10 @@ class ZarrInferenceEngine:
             f"{k}={v:.1f}s" for k, v in _phase.items()))
         print(f"[infer] model pass + finalize + quantize complete (device "
               f"accum): {n} patches -> {store_path}")
+        # expose the breakdown so callers (bench.py) can report the
+        # SUSTAINED rate separately from the per-process fixed costs
+        # (compile-cache load + the platform's slow first execution)
+        self.last_phases = dict(_phase)
         return True
 
     def _run_model_pass_rolling(self, store_path: str,

@@ -13,8 +13,19 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # ROOT CAUSE of the round-3/4 slow-suite SIGABRT (reproduced + captured
+    # round 5, /tmp/sigabrt_hunt): XLA:CPU cross-device collectives run one
+    # participant THREAD per virtual device and ABORT the process
+    # (rendezvous.cc "Termination timeout ... Exiting to ensure a
+    # consistent program state", rc=134) when any participant fails to
+    # reach the rendezvous within 40 s. On this 1-core host, 8 participant
+    # threads + any concurrent machine load make that starvation-prone.
+    # Raise the terminate timeout; slow progress then just warns.
+    flags = (flags + " --xla_cpu_collective_call_terminate_timeout_seconds"
+             "=1200").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
