@@ -546,7 +546,10 @@ def _update_parity_md(summary):
     ours = summary["results"]["this_framework"]
     ref = summary["results"]["reference_torch_cpu"]
     s = summary["setup"]
-    marker = "## Trained head-to-head"
+    # distinct marker: the curated multi-seed "## Trained head-to-head"
+    # section (written round 5) must not be truncated by a later
+    # single-run refresh
+    marker = "## Latest single-run head-to-head"
     block = f"""{marker} (scripts/parity_train.py)
 
 Same synthetic two-slab volume ({s['volume'][0]}^3), same mined patch pool
