@@ -26,6 +26,13 @@ def make_mesh(mesh_shape: Optional[Sequence[int]] = None,
         devices = jax.devices()
     if mesh_shape is None:
         mesh_shape = (len(devices),)
+    n = 1
+    for s in mesh_shape:
+        n *= s
+    if n < len(devices):
+        # an explicit smaller mesh (e.g. mesh_shape [1] to run without
+        # cross-device collectives) takes the first n devices
+        devices = list(devices)[:n]
     devs = np.asarray(devices).reshape(tuple(mesh_shape))
     return Mesh(devs, tuple(axis_names))
 

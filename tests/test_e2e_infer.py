@@ -39,7 +39,13 @@ def trained(tmp_path_factory):
         "tr_config": {"optimizer": "AdamW", "initial_lr": 1e-2,
                       "patch_size": [16, 16, 16], "batch_size": 4,
                       "max_steps_per_epoch": 30, "max_val_steps_per_epoch": 1,
-                      "max_epoch": 4, "num_dataloader_workers": 2},
+                      "max_epoch": 4, "num_dataloader_workers": 2,
+                      # 1-device mesh: XLA:CPU 8-participant collectives
+                      # intermittently deadlock inside one multi-epoch
+                      # trainer run (docs/SIGABRT.md); data-parallel
+                      # collectives are covered by test_sharding /
+                      # test_distributed, which run short synchronous steps
+                      "mesh_shape": [1]},
         "model_config": {
             "basic_encoder_block": "BasicBlockD",
             "basic_decoder_block": "ConvBlock",

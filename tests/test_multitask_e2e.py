@@ -45,7 +45,10 @@ def setup(tmp_path_factory):
         "tr_config": {"optimizer": "AdamW", "initial_lr": 8e-3,
                       "patch_size": [16, 16, 16], "batch_size": 4,
                       "max_steps_per_epoch": 25, "max_val_steps_per_epoch": 1,
-                      "max_epoch": 3, "num_dataloader_workers": 2},
+                      "max_epoch": 3, "num_dataloader_workers": 2,
+                      # 1-device mesh: avoids the intermittent XLA:CPU
+                      # 8-participant collective deadlock (docs/SIGABRT.md)
+                      "mesh_shape": [1]},
         "model_config": {
             "basic_encoder_block": "BasicBlockD",
             "basic_decoder_block": "ConvBlock",

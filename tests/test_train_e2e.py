@@ -48,6 +48,9 @@ def _make_config(tmp_path, max_epoch=2, ckpt_path=None, load_weights_only=False)
             "max_val_steps_per_epoch": 2,
             "max_epoch": max_epoch,
             "num_dataloader_workers": 2,
+            # 1-device mesh: avoids the intermittent XLA:CPU 8-participant
+            # collective deadlock inside long trainer runs (docs/SIGABRT.md)
+            "mesh_shape": [1],
         },
         "model_config": {
             "basic_encoder_block": "BasicBlockD",
